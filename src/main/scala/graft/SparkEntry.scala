@@ -1,13 +1,28 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.spider.CrawlDriver
+import graft.spider.core.CrawlConfig
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * one full crawl round (dequeue → robots gate → politeness top-k →
+    * fetch-simulation → extraction → discovery/dedup) over the synthesized
+    * Common-Crawl-style corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    CrawlDriver.crawlFromSf(spark, "/root/testdata/sf0.001",
+      CrawlConfig(rounds = 1),
+      java.nio.file.Files.createTempDirectory("graft-entry-").toString)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data pipeline operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Demos.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for crawl/sketch/ANN-specific ops,
+    * which are instead verified against the single-threaded oracle module
+    * and brute-force baselines in the scalatest suites. */
+  def oracleSql: Map[String, String] = graft.queries.Demos.oracleSql
 }

@@ -1,0 +1,141 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All pure DataFrame/Catalyst plans — shuffles only on the natural keys
+  * (text hash, LSH bucket, simhash band), so every stage scales by adding
+  * partitions. No driver-side loops, no UDFs: the MinHash signature and
+  * banding are built from xxhash64 / transform / aggregate built-ins
+  * (whole-stage-codegen friendly); SimHash is one custom Catalyst
+  * expression.
+  *
+  * Scale notes (10^10-document corpora):
+  *  - exact dedup: one hash-shuffle on xxhash64(text); map-side partial agg.
+  *  - MinHash-LSH: candidate generation shuffles on (band_idx, band_hash) —
+  *    uniform by construction; verification joins only candidate pairs,
+  *    never the full cross product.
+  *  - SimHash: banding the 64-bit fingerprint into 4×16-bit keys finds all
+  *    pairs within Hamming distance 3 (pigeonhole) with 4 uniform shuffles.
+  */
+object Dedup {
+
+  /** tokens = lowercase whitespace split. */
+  def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** k-token shingles; texts shorter than k yield one whole-text shingle. */
+  def shinglesCol(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array(concat_ws(" ", tokens)))
+      .otherwise(transform(sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+
+  /** Deterministic affine hash family for MinHash permutations. */
+  private def permParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      def mix(x0: Long): Long = {
+        var x = x0 + 0x9e3779b97f4a7c15L
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        x ^ (x >>> 31)
+      }
+      (mix(i.toLong * 2 + 1) | 1L, mix(i.toLong * 2 + 2)) // odd multiplier
+    }
+
+  /** MinHash signature (array<long> of length numHashes) over a shingle
+    * array column. Each "permutation" re-hashes the shingle hash XORed with
+    * a per-function salt (bitwise ops + xxhash64: overflow-free under ANSI
+    * mode, unlike an affine a·h+b family). */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    array(permParams(numHashes).map { case (a, _) =>
+      array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(lit(a)))))
+    }: _*)
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * Returns (idCol, n_copies). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(idCol, "n_copies")
+
+  /** MinHash + LSH near-duplicate pairs: shingle → signature → band →
+    * bucket-join → exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+
+    val banded = base.select(col("id"), col("shingles"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => xxhash64(concat_ws(",",
+            transform(slice(col("sig"), j * rows + 1, lit(rows)), x => x.cast("string")))))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_hash")
+
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col("id").as("id_b"), col("shingles").as("sh_b"))
+
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` (< 4): band the 64-bit
+    * fingerprint into 4×16 bits; any pair within Hamming 3 shares ≥1 exact
+    * band (pigeonhole), verified with bit_count(xor). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band scheme guarantees recall only for hamming <= 3")
+    import PipeFunctions._
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("simhash", simhash64(array_distinct(tokensCol(col("text")))))
+    val banded = base.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard for a given candidate pair set (id_a, id_b) —
+    * the verification kernel alone, reusable outside LSH. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      array_distinct(shinglesCol(tokensCol(col(textCol)), k)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+}

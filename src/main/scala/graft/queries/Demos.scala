@@ -1,0 +1,528 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import graft.datapipe.PipeFunctions._
+import graft.spider.{CrawlDriver, CrawlEngine}
+import graft.spider.core.{Corpus, CrawlConfig}
+import graft.spider.expr.SpiderFunctions._
+import graft.spider.sketch.Sketches
+import graft.spider.synth.PagesSynth
+
+/** The operator inventory as runnable demo queries (SURVEY.md §2 "Key"
+  * column + the training-data pipeline operators): one entry per operator
+  * for SparkEntry.queries, with DuckDB oracle SQL where the semantics are
+  * ANSI-SQL-expressible over the driver tables (FIXTURES.md §4). Demos are
+  * deterministically ordered and cast so Spark and DuckDB schemas agree
+  * (ranks/counts/lengths → BIGINT on both sides).
+  */
+object Demos {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** pages cache per (session, sfDir): the synth corpus is reused by many
+    * demo queries within one Verify/Bench process. */
+  private val pagesCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    pagesCache.getOrElseUpdate(dir, {
+      val df = PagesSynth.pages(s, dir).persist()
+      df.count()
+      df
+    })
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** The DuckDB-side url expression for the synthesized corpus. */
+  private val duckUrl =
+    "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+  private val duckWarcTs =
+    s"make_timestamp(${Corpus.WarcBaseMicros} + doc_id * ${Corpus.MicrosPerMinute})"
+
+  // ------------------------------------------------------------------
+  // A. corpus scan/synth demos (DuckDB-checkable because the generator is a
+  //    pure function of the documents table)
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2: corpus scan — the synthesizer is verified column-by-column
+    "scan_pages" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), col("lang"), col("warc_ts")).orderBy("url")),
+
+    // E5: extraction inverts the wrap byte-for-byte ⇒ equals documents.text
+    "extract_text" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), extract_text(col("html")).as("text"))
+        .orderBy("url")),
+
+    // E2: host component via built-in parse_url
+    "url_host" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
+        .orderBy("url")),
+
+    // byte-length projection (pushdown demo: html never read)
+    "pages_text_bytes" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), octet_length(col("text")).cast("long")
+        .as("text_bytes")).orderBy("url")),
+
+    // J1: fetch-simulation join (seed frontier ⋈ pages on url)
+    "fetch_join" -> ((s, dir) =>
+      PagesSynth.seeds(s, dir, CrawlConfig()).toDF().select("url")
+        .join(pages(s, dir), Seq("url")).select(col("url"), col("lang"))
+        .orderBy("url")),
+
+    // A3: per-host aggregation
+    "host_agg" -> ((s, dir) =>
+      pages(s, dir)
+        .select(expr("parse_url(url, 'HOST')").as("host"),
+          octet_length(col("text")).cast("long").as("b"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"), sum(col("b")).as("text_bytes"))
+        .orderBy("host")),
+
+    // A4: heavy-hitter hosts
+    "heavy_hitters" -> ((s, dir) =>
+      pages(s, dir).select(expr("parse_url(url, 'HOST')").as("host"))
+        .groupBy("host").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 25).orderBy("host")),
+
+    // A5: exact distinct counts (approx variant is rows-only below)
+    "distinct_exact" -> ((s, dir) =>
+      pages(s, dir).agg(
+        countDistinct(expr("parse_url(url, 'HOST')")).as("n_hosts"),
+        countDistinct(col("url")).as("n_urls"))),
+
+    // E9: time bucketing
+    "ts_bucket" -> ((s, dir) =>
+      pages(s, dir).groupBy(date_trunc("day", col("warc_ts")).as("day"))
+        .agg(count(lit(1)).as("n")).orderBy("day")),
+
+    // ------------------------------------------------------------------
+    // B. scheduler-operator demos over the TPC-H-ish tables (oracle-checked)
+    // ------------------------------------------------------------------
+
+    // W1: per-key politeness-budget top-k
+    "politeness_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+        .orderBy("o_custkey", "rank")
+    }),
+
+    // O1: explicit repartition + sortWithinPartitions + per-key rank
+    "frontier_dequeue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .repartition(col("l_suppkey"))
+        .sortWithinPartitions("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 2)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rank")
+        .orderBy("l_suppkey", "rank")
+    }),
+
+    // O2: global ordered cap (TakeOrderedAndProject)
+    "round_topk" -> ((s, dir) =>
+      t(s, dir, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100).select("o_orderkey", "o_totalprice")),
+
+    // J3: exact anti-join (the seen-set semantics)
+    "seen_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // J7: semi-join
+    "semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // J4: explicit salted-key skew join ≡ plain join (verified by oracle)
+    "skew_salted_join" -> ((s, dir) => {
+      val S = 8L
+      val big = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_partkey").cast("string")), lit(S)))
+      val small = t(s, dir, "orders")
+        .withColumn("salt", explode(sequence(lit(0L), lit(S - 1))))
+      big.join(small, big("l_orderkey") === small("o_orderkey")
+          && big("salt") === small("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // J6: as-of (latest version at/before a cutoff)
+    "asof_latest" -> ((s, dir) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events").filter(col("ts") <= cutoff)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "event_id", "ts").orderBy("user_id")
+    }),
+
+    // W3: lag window (recrawl/price-history delta analog)
+    "recrawl_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag("value", 1).over(w).as("prev_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // W2: priority tiers
+    "priority_rank" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderpriority").distinct()
+        .withColumn("tier",
+          dense_rank().over(Window.orderBy("o_orderpriority")).cast("long"))
+        .orderBy("o_orderpriority")),
+
+    // A6: rollup report
+    "report_rollup" -> ((s, dir) =>
+      t(s, dir, "events").rollup("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+        .orderBy(col("event_type").asc_nulls_first)),
+
+    // U1: union-dedup (frontier advance analog)
+    "frontier_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_totalprice") > 200000).select("o_orderkey")
+        .unionByName(o.filter(col("o_orderstatus") === "O").select("o_orderkey"))
+        .distinct().orderBy("o_orderkey")
+    }),
+
+    // U2: except (residual frontier analog)
+    "frontier_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select("o_orderkey")
+        .except(o.filter(col("o_totalprice") > 200000).select("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E10: JSON field extraction
+    "json_props" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // ------------------------------------------------------------------
+    // C. training-data pipeline (oracle-checked where SQL-expressible)
+    // ------------------------------------------------------------------
+
+    // exact dedup over a corpus with injected duplicates
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val dup = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exactDedup(dup, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // token counting
+    "token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    // ------------------------------------------------------------------
+    // D. crawl-specific + sketch + ANN operators (no ANSI-SQL equivalent →
+    //    no oracleSql entry; each is verified against the oracle module /
+    //    brute force in the scalatest suites)
+    // ------------------------------------------------------------------
+
+    // E1: canonicalization collapses equivalence classes back to the input
+    "url_canonicalize" -> ((s, dir) =>
+      pages(s, dir).select(col("url"),
+        url_canonicalize(concat(lit("HTTPS://"),
+          upper(substring(col("url"), 9, 3)), substring(col("url"), 12, 100000),
+          lit("#frag"))).as("canonical"))
+        .withColumn("matches", col("canonical") === col("url"))
+        .orderBy("url")),
+
+    // E3/E4: 64-bit hashing
+    "url_hash64" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), xxhash64(col("url")).as("url_hash"),
+        xxhash64(expr("parse_url(url, 'HOST')")).as("host_hash")).orderBy("url")),
+
+    // E6/G1: outlink extraction + explode
+    "extract_outlinks" -> ((s, dir) =>
+      pages(s, dir).select(col("url"),
+        explode(extract_outlinks(col("html"))).as("outlink"))
+        .orderBy("url", "outlink")),
+
+    // F1/E7: robots gate
+    "robots_filter" -> ((s, dir) => {
+      val robots = PagesSynth.robots(s, dir).toDF()
+      pages(s, dir).select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
+        .join(broadcast(robots), Seq("host"))
+        .filter(robots_allows(col("url"), col("disallow_prefixes")))
+        .groupBy("host").agg(count(lit(1)).as("n_allowed")).orderBy("host")
+    }),
+
+    // A5 approx variant
+    "approx_distinct" -> ((s, dir) =>
+      pages(s, dir).agg(
+        approx_count_distinct(col("url")).as("approx_urls"),
+        countDistinct(col("url")).as("exact_urls"))),
+
+    // A1(b): Catalyst-native Bloom build; F2: membership check
+    "bloom_build" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val bytes = p.agg(Sketches.bloomAgg(xxhash64(col("url")), 1 << 20, 0.03))
+        .head().getAs[Array[Byte]](0)
+      p.select(col("url"))
+        .withColumn("might_contain", bloom_might_contain(lit(bytes), xxhash64(col("url"))))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_contained"))
+    }),
+
+    // A1(a): the treeAggregate variant
+    "treeagg_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val hashes = pages(s, dir).select(xxhash64(col("url"))).as[Long]
+      val bf = Sketches.treeAggBloom(hashes, 1 << 20, 0.03)
+      val bytes = Sketches.bloomBytes(bf)
+      pages(s, dir).select(col("url"))
+        .withColumn("might_contain", bloom_might_contain(lit(bytes), xxhash64(col("url"))))
+        .agg(sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_contained"))
+    }),
+
+    // A2: cuckoo filter build (supports deletion; see CuckooFilterSpec)
+    "cuckoo_build" -> ((s, dir) => {
+      val bytes = pages(s, dir)
+        .agg(Sketches.cuckooAgg(xxhash64(col("url")), 1 << 16))
+        .head().getAs[Array[Byte]](0)
+      val cf = graft.spider.sketch.CuckooFilter.deserialize(bytes)
+      import s.implicits._
+      Seq((cf.cardinality, bytes.length.toLong)).toDF("n_items", "n_bytes")
+    }),
+
+    // F2 split: bloom prefilter ahead of the exact anti-join
+    "bloom_prefilter" -> ((s, dir) => {
+      val cfg = CrawlConfig()
+      val seeds = PagesSynth.seeds(s, dir, cfg).toDF()
+      val bytes = seeds.agg(Sketches.bloomAgg(col("url_hash"), 1 << 20, 0.03))
+        .head().getAs[Array[Byte]](0)
+      pages(s, dir).select(xxhash64(col("url")).as("url_hash"))
+        .withColumn("maybe_seen", bloom_might_contain(lit(bytes), col("url_hash")))
+        .agg(sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_maybe_seen"),
+          sum(when(!col("maybe_seen"), 1L).otherwise(0L)).as("n_definitely_new"))
+    }),
+
+    // the end-to-end slices (fresh state dir per invocation)
+    "crawl_round1" -> ((s, dir) =>
+      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 1), tmpDir("graft-q-r1-"))
+        .orderBy("host", "rank_in_host")),
+
+    "crawl_multiround" -> ((s, dir) =>
+      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 3), tmpDir("graft-q-r3-"))
+        .groupBy("round").agg(count(lit(1)).as("n_fetched"),
+          countDistinct("host").as("n_hosts")).orderBy("round")),
+
+    // A7/S6: per-round counters out of the snapshot manifests
+    "round_counters" -> ((s, dir) => {
+      import s.implicits._
+      val state = tmpDir("graft-q-counters-")
+      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 2), state)
+      val catalog = new graft.spider.state.CrawlCatalog(state, s)
+      (1 to 2).map(catalog.countersOf).toDF().orderBy("round")
+    }),
+
+    // S6/S7: checkpoint write → read-back identity
+    "checkpoint_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val state = tmpDir("graft-q-ckpt-")
+      val cfg = CrawlConfig(rounds = 1)
+      CrawlDriver.crawlFromSf(s, dir, cfg, state)
+      val catalog = new graft.spider.state.CrawlCatalog(state, s)
+      val f = catalog.readFrontier(1)
+      Seq((f.count(), catalog.readSeen(1).count(), catalog.latestRound.getOrElse(-1)))
+        .toDF("frontier_rows", "seen_rows", "latest_round")
+    }),
+
+    // 2.10: session windows (batch form of the streaming analog)
+    "session_demo" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
+    // MinHash-LSH near-dup over a corpus with injected near-duplicates
+    "dedup_minhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail marker extra")))
+      Dedup.minhashPairs(d.unionByName(near), "doc_id", "text",
+          k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" zz")))
+      Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact n-gram Jaccard on explicit pairs
+    "ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val near = d.withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail marker")))
+      val pairs = d.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"))
+      Dedup.ngramJaccard(d.unionByName(near), "doc_id", "text", pairs)
+        .orderBy("id_a")
+    }),
+
+    // brute-force cosine top-k (the exact ANN baseline)
+    "embed_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
+      Similarity.bruteTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (the scale path; recall vs brute checked in tests)
+    "embed_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
+      Similarity.lshTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5,
+          nPlanes = 6, dim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-duplicate pairs (corpus ∪ exact copies)
+    "embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val dup = e.withColumn("vec_id", col("vec_id") + 100000)
+      Similarity.embeddingNearDupPairs(e.unionByName(dup), "vec_id", "embedding",
+          threshold = 0.999, nPlanes = 6, dim = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // language-ID heuristic (distribution over the corpus)
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextStats.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")),
+
+    // quality features + composite score
+    "text_quality" -> ((s, dir) =>
+      TextStats.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // rolling-hash document fingerprint
+    "doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        doc_fingerprint(col("text"), lit(16)).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary column + batched feature extraction (decode STUB)
+    "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthMedia(s, dir).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+          size(col("feature")).cast("long").as("feature_dim"))
+        .orderBy("media_id")
+    }),
+
+    // multimodal: deterministic frame sampling over the binary payload
+    "frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.synthMedia(s, dir), k = 4)
+        .orderBy("media_id", "frame_idx")))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle SQL — one entry per SQL-expressible key above. Columns
+  // are aliased to the same names and cast to the same types as the Spark
+  // results; every query is deterministically ordered.
+  // ------------------------------------------------------------------
+  val oracleSql: Map[String, String] = Map(
+    "scan_pages" ->
+      s"SELECT $duckUrl AS url, lang, $duckWarcTs AS warc_ts FROM documents ORDER BY url",
+    "extract_text" ->
+      s"SELECT $duckUrl AS url, text FROM documents ORDER BY url",
+    "url_host" ->
+      s"SELECT $duckUrl AS url, source || '.example.com' AS host FROM documents ORDER BY url",
+    "pages_text_bytes" ->
+      s"SELECT $duckUrl AS url, CAST(strlen(text) AS BIGINT) AS text_bytes FROM documents ORDER BY url",
+    "fetch_join" ->
+      s"SELECT $duckUrl AS url, lang FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 10) ORDER BY url",
+    "host_agg" ->
+      ("SELECT source || '.example.com' AS host, count(*) AS n_pages, " +
+        "CAST(sum(strlen(text)) AS BIGINT) AS text_bytes FROM documents GROUP BY 1 ORDER BY 1"),
+    "heavy_hitters" ->
+      ("SELECT source || '.example.com' AS host, count(*) AS n FROM documents " +
+        "GROUP BY 1 HAVING count(*) >= 25 ORDER BY 1"),
+    "distinct_exact" ->
+      ("SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_hosts, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_urls FROM documents"),
+    "ts_bucket" ->
+      (s"SELECT CAST(date_trunc('day', $duckWarcTs) AS TIMESTAMP) AS day, count(*) AS n " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+    "politeness_topk" ->
+      ("SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rank " +
+        "FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank"),
+    "frontier_dequeue" ->
+      ("SELECT l_suppkey, l_orderkey, l_linenumber, rank FROM (SELECT l_suppkey, l_orderkey, " +
+        "l_linenumber, row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, " +
+        "l_orderkey, l_linenumber) AS rank FROM lineitem) WHERE rank <= 2 ORDER BY l_suppkey, rank"),
+    "round_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "seen_antijoin" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey"),
+    "semi_join" ->
+      ("SELECT c_custkey FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "skew_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1"),
+    "asof_latest" ->
+      ("SELECT user_id, event_id, ts FROM (SELECT user_id, event_id, ts, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events " +
+        "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1 ORDER BY user_id"),
+    "recrawl_lag" ->
+      ("SELECT user_id, event_id, value, lag(value) OVER (PARTITION BY user_id ORDER BY ts, " +
+        "event_id) AS prev_value FROM events ORDER BY user_id, event_id"),
+    "priority_rank" ->
+      ("SELECT o_orderpriority, dense_rank() OVER (ORDER BY o_orderpriority) AS tier FROM " +
+        "(SELECT DISTINCT o_orderpriority FROM orders) ORDER BY o_orderpriority"),
+    "report_rollup" ->
+      ("SELECT event_type, count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY ROLLUP(event_type) ORDER BY event_type NULLS FIRST"),
+    "frontier_union" ->
+      ("SELECT o_orderkey FROM orders WHERE o_totalprice > 200000 UNION " +
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey"),
+    "frontier_except" ->
+      ("SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' EXCEPT " +
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 200000 ORDER BY o_orderkey"),
+    "json_props" ->
+      ("SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INTEGER) AS k " +
+        "FROM events ORDER BY event_id"),
+    "dedup_exact" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 100000, text " +
+        "FROM documents) SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM d " +
+        "GROUP BY text ORDER BY doc_id"),
+    "token_count" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tokens FROM documents ORDER BY doc_id"))
+}

@@ -29,7 +29,8 @@ object CrawlDriver {
       stateDir: String): CrawlCatalog = {
 
     val catalog = new CrawlCatalog(stateDir, spark)
-    val robotsDf = robots.toDF()
+    val robotsDf = robots.toDF().persist()
+    robotsDf.count() // materialize once; broadcast-joined every round
     val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val startRound = catalog.latestRound match {
@@ -83,14 +84,19 @@ object CrawlDriver {
   /** Convenience: synthesize the corpus fixtures from `sfDir`, crawl, return
     * the crawled table through the final round. */
   def crawlFromSf(spark: SparkSession, sfDir: String, cfg: CrawlConfig,
-      stateDir: String, replicate: Int = 1): DataFrame = {
+      stateDir: String, replicate: Int = 1, spreadHosts: Boolean = false): DataFrame = {
     import graft.spider.synth.PagesSynth
-    val pages = PagesSynth.pages(spark, sfDir, replicate)
+    val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count() // materialize once; every round re-joins against it
+    val robots =
+      if (spreadHosts)
+        PagesSynth.robotsFor(spark, pages
+          .select(org.apache.spark.sql.functions.expr("parse_url(url, 'HOST')").as("host"))
+          .distinct())
+      else PagesSynth.robots(spark, sfDir)
     val catalog = run(spark, pages, PagesSynth.seeds(spark, sfDir, cfg),
-      PagesSynth.robots(spark, sfDir), cfg, stateDir)
-    val crawled = catalog.readCrawled(cfg.rounds)
-    crawled
+      robots, cfg, stateDir)
+    catalog.readCrawled(cfg.rounds)
   }
 }

@@ -34,17 +34,26 @@ object PagesSynth {
   }
 
   /** The `pages` table: (url, warc_ts, html, text, lang). `replicate`=K
-    * scales the corpus ×K deterministically for the bench. */
-  def pages(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    * scales the corpus ×K deterministically for the bench; `spreadHosts`
+    * additionally gives each replica k>0 its own host namespace
+    * (source → source + "rk"), so the frontier spans K×20 hosts — replica 0
+    * keeps the base hosts, which keeps the seed list valid. */
+  def pages(spark: SparkSession, sfDir: String, replicate: Int = 1,
+      spreadHosts: Boolean = false): DataFrame = {
     val docs0 = documents(spark, sfDir).select("doc_id", "text", "lang", "source")
     val n0 = assertContiguous(docs0)
     val nTotal = n0 * replicate
+
+    def spread(src: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =
+      if (!spreadHosts) src
+      else concat(src, when(k === 0, lit("")).otherwise(concat(lit("r"), k.cast("string"))))
 
     val docs =
       if (replicate == 1) docs0
       else docs0.crossJoin(
           spark.range(replicate).select(col("id").as("k")))
         .withColumn("doc_id", col("doc_id") + col("k") * lit(ReplicaStride))
+        .withColumn("source", spread(col("source"), col("k")))
         .drop("k")
 
     val base = docs
@@ -66,6 +75,7 @@ object PagesSynth {
       .withColumn("tgt_k", (col("idx") / lit(n0)).cast("long"))
       .join(broadcast(tgtMap), "tgt_base")
       .withColumn("tgt_doc", col("tgt_base") + col("tgt_k") * lit(ReplicaStride))
+      .withColumn("tgt_source", spread(col("tgt_source"), col("tgt_k")))
       .withColumn("tgt_url", concat(lit("https://"), col("tgt_source"),
         lit(".example.com/doc/"), col("tgt_doc")))
       .groupBy("doc_id")
@@ -99,10 +109,14 @@ object PagesSynth {
   /** Per-host robots rules derived deterministically from the host hash
     * (FIXTURES.md §3); one row per corpus host. */
   def robots(spark: SparkSession, sfDir: String): Dataset[RobotsRule] = {
+    robotsFor(spark, documents(spark, sfDir)
+      .select(concat(col("source"), lit(".example.com")).as("host")).distinct())
+  }
+
+  /** Same rules over an arbitrary host set (e.g. a host-spread bench corpus). */
+  def robotsFor(spark: SparkSession, hosts: DataFrame): Dataset[RobotsRule] = {
     import spark.implicits._
-    documents(spark, sfDir)
-      .select(concat(col("source"), lit(".example.com")).as("host")).distinct()
-      .select(
+    hosts.select(
         col("host"),
         when(pmod(xxhash64(col("host")), lit(5L)) === 0, array(lit("/doc/1")))
           .otherwise(array().cast("array<string>")).as("disallow_prefixes"),

@@ -1,0 +1,78 @@
+package graft.spider.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.spider.CrawlDriver
+import graft.spider.core.CrawlConfig
+import graft.spider.state.CrawlCatalog
+import graft.spider.synth.PagesSynth
+
+/** Two-cluster-size scaling evidence (BASELINE.md protocol): run the SAME
+  * crawl on the SAME input at two parallelism levels (local[N] vs local[4N])
+  * and report throughput at both plus efficiency = tput(4N) / (4·tput(N)).
+  *
+  *   runMain graft.spider.tools.ScalingBench <sfDir> <replicate> <rounds> <cpusCsv>
+  *
+  * Per level: fresh SparkSession, P = max(64, 2·cpus) shuffle partitions,
+  * one discarded warmup crawl (JIT), then the timed crawl.
+  */
+object ScalingBench {
+
+  case class LevelResult(cpus: Int, fetched: Long, secs: Double) {
+    def urlsPerSec: Double = fetched / secs
+  }
+
+  def runAt(cpus: Int, sfDir: String, replicate: Int, rounds: Int): LevelResult = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", math.max(64, cpus * 2).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // discarded warmup (JIT + codegen caches)
+      CrawlDriver.crawlFromSf(spark, sfDir, CrawlConfig(rounds = 1),
+        java.nio.file.Files.createTempDirectory("graft-warm-").toString)
+
+      val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, nSeeds = 1000)
+      val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPages = pages.count()
+      val robots = PagesSynth.robotsFor(spark,
+        pages.select(expr("parse_url(url, 'HOST')").as("host")).distinct())
+      val seeds = PagesSynth.seeds(spark, sfDir, cfg)
+      val state = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+
+      val t0 = System.nanoTime()
+      val catalog = CrawlDriver.run(spark, pages, seeds, robots, cfg, state)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val fetched = (1 to rounds).map(r => catalog.countersOf(r).fetched).sum
+      System.err.println(s"[scaling] cpus=$cpus pages=$nPages fetched=$fetched secs=$secs")
+      LevelResult(cpus, fetched, secs)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val replicate = if (args.length > 1) args(1).toInt else 20
+    val rounds = if (args.length > 2) args(2).toInt else 4
+    val cpusList = (if (args.length > 3) args(3) else "8,32").split(",").map(_.trim.toInt)
+
+    val results = cpusList.map(c => runAt(c, sfDir, replicate, rounds))
+    val parts = results.map { r =>
+      f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f}"""
+    }
+    val eff =
+      if (results.length >= 2 && results.last.cpus == results.head.cpus * 4)
+        results.last.urlsPerSec / (4.0 * results.head.urlsPerSec)
+      else Double.NaN
+    println(s"""{"bench":"scaling","sf":"$sfDir","replicate":$replicate,"rounds":$rounds,${parts.mkString(",")},"efficiency":$eff}""")
+  }
+}

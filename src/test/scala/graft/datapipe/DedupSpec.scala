@@ -1,0 +1,82 @@
+package graft.datapipe
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spider.SparkTestBase
+import graft.spider.core.Hash64
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select("doc_id", "text")
+
+  test("exactDedup: injected duplicates collapse to min id with n_copies=2") {
+    val dup = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000))
+    val out = Dedup.exactDedup(dup, "doc_id", "text").collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(1) == 2L && r.getLong(0) < 100000))
+  }
+
+  test("minhashPairs: finds all injected near-duplicates, none spurious below threshold") {
+    val near = docs.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tail marker extra")))
+    val pairs = Dedup.minhashPairs(docs.unionByName(near), "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L).map(i => (i, i + 100000)).toSet
+    val recall = expected.count(found).toDouble / expected.size
+    assert(recall >= 0.95, s"recall=$recall")
+    // precision: verification is exact Jaccard, so every returned pair must
+    // really have jaccard >= 0.5 — recompute two pairs in plain Scala
+    val textOf = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def textAt(id: Long): String =
+      if (id < 100000) textOf(id) else textOf(id - 100000) + " tail marker extra"
+    def shingles(t: String) =
+      t.trim.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    pairs.take(5).foreach { r =>
+      val (sa, sb) = (shingles(textAt(r.getLong(0))), shingles(textAt(r.getLong(1))))
+      val j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - r.getDouble(2)) < 1e-9, s"jaccard mismatch: $j vs ${r.getDouble(2)}")
+    }
+  }
+
+  test("simhashPairs: recall is exact for hamming<=3 (vs brute force on a sample)") {
+    val sample = docs.filter(col("doc_id") < 120)
+    val out = Dedup.simhashPairs(sample, "doc_id", "text", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    // brute force in plain Scala with the same simhash definition
+    def simhash(t: String): Long = {
+      val votes = new Array[Int](64)
+      t.trim.toLowerCase.split("\\s+").distinct.foreach { tok =>
+        val h = Hash64.string(tok)
+        (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) => if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val rows = sample.collect().map(r => (r.getLong(0), simhash(r.getString(1))))
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(out == brute, s"engine=${out.size} brute=${brute.size}")
+  }
+
+  test("shingles: short texts yield one whole-text shingle") {
+    import spark.implicits._
+    val out = Seq("one two").toDF("text")
+      .select(Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3)).head().getSeq[String](0)
+    assert(out == Seq("one two"))
+  }
+
+  test("ngramJaccard: identical texts → 1.0") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(d, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == 0.0)
+  }
+}

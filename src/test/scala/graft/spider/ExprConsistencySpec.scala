@@ -1,0 +1,75 @@
+package graft.spider
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spider.core.{Corpus, Hash64, HtmlCodec, UrlCanonical}
+import graft.spider.expr.SpiderFunctions._
+
+/** The engine/oracle consistency contract at the expression level: every
+  * Catalyst expression must agree with the shared pure-Scala core, and the
+  * built-in xxhash64 must agree with Hash64 (seed 42) — the URL-seen set
+  * depends on it. */
+class ExprConsistencySpec extends AnyFunSuite with SparkTestBase {
+
+  private val urls = Seq(
+    "https://src0.example.com/doc/0",
+    "HTTP://Example.COM:80/a/../b%7E?q=1&p=2#frag",
+    "https://x.example.net:8443/%41/./c",
+    "http://user@HOST.example.org/path path", // space survives (not our job to encode)
+    "https://src19.example.com/doc/499")
+
+  test("built-in xxhash64 == Hash64.string (seed 42)") {
+    import spark.implicits._
+    val got = urls.toDF("s").select(col("s"), xxhash64(col("s"))).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == Hash64.string(r.getString(0)), s"hash mismatch for ${r.getString(0)}")
+    }
+  }
+
+  test("url_canonicalize expression == UrlCanonical.canonicalize") {
+    import spark.implicits._
+    val got = urls.toDF("s").select(col("s"), url_canonicalize(col("s"))).collect()
+    got.foreach { r =>
+      assert(r.getString(1) == UrlCanonical.canonicalize(r.getString(0)))
+    }
+  }
+
+  test("extract_text / extract_outlinks expressions == HtmlCodec") {
+    import spark.implicits._
+    val pages = Seq(
+      HtmlCodec.wrap(1, "hello & <world>", Seq("https://a/1", "https://b/2")),
+      HtmlCodec.wrap(2, "数据 表", Seq("https://c/3")),
+      HtmlCodec.wrap(3, "", Seq("https://d/4")))
+    val got = pages.toDF("html")
+      .select(col("html"), extract_text(col("html")),
+        extract_outlinks(col("html"))).collect()
+    got.foreach { r =>
+      val html = r.getAs[Array[Byte]](0)
+      assert(r.getString(1) == HtmlCodec.extractText(html))
+      assert(r.getSeq[String](2) == HtmlCodec.extractOutlinks(html))
+    }
+  }
+
+  test("robots_allows expression == Corpus.robotsAllows") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://h.example.com/doc/1", Seq("/doc/1")),
+      ("https://h.example.com/doc/10", Seq("/doc/1")), // prefix match blocks /doc/10 too
+      ("https://h.example.com/doc/2", Seq("/doc/1")),
+      ("https://h.example.com/doc/2", Seq.empty[String]))
+    val got = cases.toDF("url", "prefixes")
+      .select(col("url"), col("prefixes"), robots_allows(col("url"), col("prefixes")))
+      .collect()
+    got.zip(cases).foreach { case (r, (u, ps)) =>
+      assert(r.getBoolean(2) == Corpus.robotsAllows(u, ps), s"mismatch for $u vs $ps")
+    }
+  }
+
+  test("SQL registration works end-to-end") {
+    registerAll(spark)
+    val r = spark.sql(
+      "SELECT url_canonicalize('HTTP://A.com:80/x/../y') AS c").head()
+    assert(r.getString(0) == "http://a.com/y")
+  }
+}

@@ -18,6 +18,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -63,7 +63,13 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs: shingle → signature → band →
     * bucket-join → exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard) with jaccard ≥ threshold. */
+    * Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    *
+    * Plan shape (matters at corpus scale): the shingle-hash array is
+    * materialized ONCE per row before the 64 per-permutation minima read it;
+    * the banded self-join and the pair `distinct` carry only (ids, band key)
+    * — never the shingle arrays — and the heavy shingle payload is joined
+    * back only for the surviving candidate pairs. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -73,23 +79,29 @@ object Dedup {
 
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      // materialize the shingle hashes so the 64 array_min's share one array
+      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sig", array(permParams(numHashes).map { case (a, _) =>
+        array_min(transform(col("sh_hashes"), h => xxhash64(h.bitwiseXOR(lit(a)))))
+      }: _*))
 
-    val banded = base.select(col("id"), col("shingles"),
+    val banded = base.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(concat_ws(",",
             transform(slice(col("sig"), j * rows + 1, lit(rows)), x => x.cast("string")))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band_idx", "band_hash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    val sh = base.select(col("id"), col("shingles"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

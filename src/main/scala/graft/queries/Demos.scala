@@ -39,6 +39,12 @@ object Demos {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run a crawl against the SHARED cached pages (fresh state dir). */
+  private def crawlCached(s: SparkSession, dir: String,
+      cfg: CrawlConfig): graft.spider.state.CrawlCatalog =
+    CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, cfg),
+      PagesSynth.robots(s, dir), cfg, tmpDir("graft-q-crawl-"))
+
   /** The DuckDB-side url expression for the synthesized corpus. */
   private val duckUrl =
     "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
@@ -101,6 +107,25 @@ object Demos {
     "ts_bucket" -> ((s, dir) =>
       pages(s, dir).groupBy(date_trunc("day", col("warc_ts")).as("day"))
         .agg(count(lit(1)).as("n")).orderBy("day")),
+
+    // S3: seed-list source (hash columns omitted: DuckDB-checkable shape)
+    "seed_frontier" -> ((s, dir) =>
+      PagesSynth.seeds(s, dir, CrawlConfig()).toDF()
+        .select("url", "host", "priority", "discovered_round", "warc_ts")
+        .orderBy("url")),
+
+    // S4: robots rules table (hash-derived → rows-only)
+    "scan_robots" -> ((s, dir) =>
+      PagesSynth.robots(s, dir).toDF()
+        .select(col("host"), size(col("disallow_prefixes")).cast("long").as("n_disallow"),
+          col("crawl_delay_ms"))
+        .orderBy("host")),
+
+    // F3: scope filter (allowed-host whitelist)
+    "scope_filter" -> ((s, dir) =>
+      pages(s, dir).select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
+        .filter(col("host").isin("src0.example.com", "src1.example.com", "src2.example.com"))
+        .orderBy("url")),
 
     // ------------------------------------------------------------------
     // B. scheduler-operator demos over the TPC-H-ish tables (oracle-checked)
@@ -317,34 +342,29 @@ object Demos {
           sum(when(!col("maybe_seen"), 1L).otherwise(0L)).as("n_definitely_new"))
     }),
 
-    // the end-to-end slices (fresh state dir per invocation)
+    // the end-to-end slices (fresh state dir per invocation, shared pages)
     "crawl_round1" -> ((s, dir) =>
-      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 1), tmpDir("graft-q-r1-"))
+      crawlCached(s, dir, CrawlConfig(rounds = 1)).readCrawled(1)
         .orderBy("host", "rank_in_host")),
 
     "crawl_multiround" -> ((s, dir) =>
-      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 3), tmpDir("graft-q-r3-"))
+      crawlCached(s, dir, CrawlConfig(rounds = 3)).readCrawled(3)
         .groupBy("round").agg(count(lit(1)).as("n_fetched"),
           countDistinct("host").as("n_hosts")).orderBy("round")),
 
     // A7/S6: per-round counters out of the snapshot manifests
     "round_counters" -> ((s, dir) => {
       import s.implicits._
-      val state = tmpDir("graft-q-counters-")
-      CrawlDriver.crawlFromSf(s, dir, CrawlConfig(rounds = 2), state)
-      val catalog = new graft.spider.state.CrawlCatalog(state, s)
+      val catalog = crawlCached(s, dir, CrawlConfig(rounds = 2))
       (1 to 2).map(catalog.countersOf).toDF().orderBy("round")
     }),
 
     // S6/S7: checkpoint write → read-back identity
     "checkpoint_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val state = tmpDir("graft-q-ckpt-")
-      val cfg = CrawlConfig(rounds = 1)
-      CrawlDriver.crawlFromSf(s, dir, cfg, state)
-      val catalog = new graft.spider.state.CrawlCatalog(state, s)
-      val f = catalog.readFrontier(1)
-      Seq((f.count(), catalog.readSeen(1).count(), catalog.latestRound.getOrElse(-1)))
+      val catalog = crawlCached(s, dir, CrawlConfig(rounds = 1))
+      Seq((catalog.readFrontier(1).count(), catalog.readSeen(1).count(),
+        catalog.latestRound.getOrElse(-1)))
         .toDF("frontier_rows", "seen_rows", "latest_round")
     }),
 
@@ -477,6 +497,13 @@ object Demos {
     "ts_bucket" ->
       (s"SELECT CAST(date_trunc('day', $duckWarcTs) AS TIMESTAMP) AS day, count(*) AS n " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
+    "seed_frontier" ->
+      (s"SELECT $duckUrl AS url, source || '.example.com' AS host, 100 AS priority, " +
+        s"0 AS discovered_round, $duckWarcTs AS warc_ts FROM " +
+        "(SELECT * FROM documents ORDER BY doc_id LIMIT 10) ORDER BY url"),
+    "scope_filter" ->
+      (s"SELECT $duckUrl AS url, source || '.example.com' AS host FROM documents " +
+        "WHERE source IN ('src0', 'src1', 'src2') ORDER BY url"),
     "politeness_topk" ->
       ("SELECT o_custkey, o_orderkey, rank FROM (SELECT o_custkey, o_orderkey, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rank " +

@@ -31,12 +31,11 @@ object CrawlDriver {
     val catalog = new CrawlCatalog(stateDir, spark)
     val robotsDf = robots.toDF().persist()
     robotsDf.count() // materialize once; broadcast-joined every round
-    val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     val startRound = catalog.latestRound match {
       case Some(r) => r
       case None =>
-        val seedsDf = seeds.toDF().repartition(partitions, col("host_hash"))
+        val seedsDf = seeds.toDF().repartition(col("host_hash"))
           .persist()
         val nSeeds = seedsDf.count()
         val bloom0 = seedsDf.agg(
@@ -52,6 +51,7 @@ object CrawlDriver {
     }
 
     for (r <- (startRound + 1) to cfg.rounds) {
+      val tR = System.nanoTime()
       val frontier = catalog.readFrontier(r - 1)
       val seen = catalog.readSeen(r - 1)
       val hostState = catalog.readHostState(r - 1)
@@ -59,24 +59,28 @@ object CrawlDriver {
 
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevBloom)
+      val tCompute = (System.nanoTime() - tR) / 1e9
 
-      // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta).
-      val newBloom = (prevBloom, out.counters.enqueued) match {
-        case (Some(prev), n) if n > 0 =>
-          val deltaBytes = out.seenDelta.agg(
-            Sketches.bloomAgg(col("url_hash"), cfg.bloomExpectedItems, cfg.bloomFpp))
-            .head().getAs[Array[Byte]](0)
+      // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta)
+      // (the delta filter was built inside the round's enqueued-count job).
+      val newBloom = (prevBloom, out.bloomDelta) match {
+        case (Some(prev), Some(delta)) =>
           val merged = Sketches.bloomFrom(prev)
-          merged.mergeInPlace(Sketches.bloomFrom(deltaBytes))
+          merged.mergeInPlace(Sketches.bloomFrom(delta))
           Some(Sketches.bloomBytes(merged))
-        case (prev, _) => prev
+        case (None, d @ Some(_)) => d
+        case (prev, None)        => prev
       }
 
+      val tC = System.nanoTime()
       catalog.commitRound(r,
-        out.frontierNext.repartition(partitions, col("host_hash")),
+        out.frontierNext.repartition(col("host_hash")), // AQE sizes the partition count
         out.seenDelta, out.hostStateNext, Some(out.crawledDelta), newBloom,
         out.counters)
       out.persisted.foreach(_.unpersist())
+      if (cfg.verbose) System.err.println(
+        f"[crawl] round $r compute=$tCompute%.1fs commit=${(System.nanoTime() - tC) / 1e9}%.1fs " +
+          s"fetched=${out.counters.fetched} frontier_out=${out.counters.frontier_out}")
     }
     catalog
   }

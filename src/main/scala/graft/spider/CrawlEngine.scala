@@ -41,6 +41,7 @@ object CrawlEngine {
       seenDelta: DataFrame,
       hostStateNext: DataFrame,
       counters: RoundCounters,
+      bloomDelta: Option[Array[Byte]],
       persisted: Seq[DataFrame])
 
   private val frontierCols =
@@ -57,6 +58,7 @@ object CrawlEngine {
       cfg: CrawlConfig,
       bloomBytes: Option[Array[Byte]]): RoundOutput = {
 
+    val t0 = System.nanoTime()
     val defaultDelayMs = 1000L
 
     // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
@@ -67,6 +69,7 @@ object CrawlEngine {
         coalesce(robots_allows(col("url"), col("disallow_prefixes")), lit(true)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    if (cfg.verbose) System.err.println(s"[round $round] start")
     val s1 = gated.agg(
       count(lit(1)),
       sum(when(!col("allowed"), 1L).otherwise(0L))).head()
@@ -88,6 +91,7 @@ object CrawlEngine {
         ranked.filter(col("rank_in_host") > col("budget"))
           .select(frontierCols.map(col): _*)
     val dequeuedN = dequeued.count()
+    if (cfg.verbose) System.err.println(s"[round $round] dequeue done: $dequeuedN @${(System.nanoTime() - t0) / 1e9}")
 
     // ---- 2/3 fetch-simulation + extraction ----
     val fetchTs = timestamp_micros(
@@ -97,16 +101,19 @@ object CrawlEngine {
     val extracted = pages
       .join(broadcast(dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")),
         Seq("url"), "inner")
-      .withColumn("outlinks", extract_outlinks(col("html")))
-      .withColumn("etext", extract_text(col("html")))
+      .withColumn("page", extract_page(col("html"))) // ONE html decode (E5+E6 fused)
+      .withColumn("outlinks", col("page.outlinks"))
+      .withColumn("etext", col("page.text"))
       .withColumn("n_links", size(col("outlinks")).cast("int"))
       .withColumn("fetch_ts", fetchTs)
+      .drop("page", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val fetchedN = extracted.count()
+    val s2 = extracted.agg(count(lit(1)), coalesce(sum("n_links"), lit(0L))).head()
+    val fetchedN = s2.getLong(0)
+    val linksN = s2.getLong(1)
+    if (cfg.verbose) System.err.println(s"[round $round] fetch+extract done: $fetchedN @${(System.nanoTime() - t0) / 1e9}")
     val missingN = dequeuedN - fetchedN
-    val linksRow = extracted.agg(coalesce(sum("n_links"), lit(0L))).head()
-    val linksN = linksRow.getLong(0)
 
     val crawledDelta = extracted.select(
       col("url"), col("url_hash"), col("host"), lit(round).as("round"),
@@ -129,6 +136,7 @@ object CrawlEngine {
       .withColumn("url_hash", xxhash64(col("url")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candN = cand.count()
+    if (cfg.verbose) System.err.println(s"[round $round] candidates done: $candN @${(System.nanoTime() - t0) / 1e9}")
 
     val seenKeys = seenAll.select("url_hash")
     val newUrls = bloomBytes match {
@@ -147,7 +155,15 @@ object CrawlEngine {
       lit(round).as("discovered_round"),
       col("warc_ts"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val enqueuedN = newEntries.count()
+    // one job: enqueued count + the seen-delta Bloom (merged by the driver)
+    val (enqueuedN, bloomDelta) =
+      if (cfg.bloomPrefilter) {
+        val s3 = newEntries.agg(count(lit(1)),
+          graft.spider.sketch.Sketches.bloomAgg(col("url_hash"),
+            cfg.bloomExpectedItems, cfg.bloomFpp)).head()
+        (s3.getLong(0), if (s3.getLong(0) > 0) Some(s3.getAs[Array[Byte]](1)) else None)
+      } else (newEntries.count(), None)
+    if (cfg.verbose) System.err.println(s"[round $round] antijoin done: $enqueuedN @${(System.nanoTime() - t0) / 1e9}")
 
     val frontierNext = residual.unionByName(newEntries)
     val seenDelta = newEntries.select(col("url_hash"), col("url"))
@@ -176,7 +192,7 @@ object CrawlEngine {
       (eligibleN - dequeuedN) + enqueuedN)
 
     RoundOutput(crawledDelta, frontierNext, seenDelta, hostStateNext, counters,
-      Seq(gated, ranked, extracted, cand, newEntries))
+      bloomDelta, Seq(gated, ranked, extracted, cand, newEntries))
   }
 
   /** O1/W1: canonical per-host dequeue ranking. Plain single window by

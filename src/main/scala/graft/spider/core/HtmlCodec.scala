@@ -146,7 +146,10 @@ object HtmlCodec {
     * applied downstream, not here). */
   def extractOutlinks(html: Array[Byte]): Seq[String] = {
     if (html == null) return null
-    val doc = new String(html, UTF_8)
+    extractOutlinksStr(new String(html, UTF_8))
+  }
+
+  def extractOutlinksStr(doc: String): Seq[String] = {
     val out = new ArrayBuffer[String](4)
     var i = 0
     val n = doc.length

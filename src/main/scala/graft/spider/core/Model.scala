@@ -64,6 +64,8 @@ case class CrawlConfig(
     /** salted two-phase dequeue ranking for mega-host skew (J4/W1) */
     twoPhaseDequeue: Boolean = false,
     bloomPrefilter: Boolean = true,
+    /** per-round phase timing to stderr */
+    verbose: Boolean = false,
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.03)
 

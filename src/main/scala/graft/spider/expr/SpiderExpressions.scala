@@ -57,6 +57,29 @@ case class ExtractOutlinksExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** E5+E6 fused: one UTF-8 decode of the page producing
+  * struct(text, outlinks) — the fetch-extract hot path calls this once
+  * instead of decoding the html twice. Semantics identical to
+  * ExtractTextExpr/ExtractOutlinksExpr (same HtmlCodec core). */
+case class ExtractPageExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("outlinks", ArrayType(StringType, containsNull = false), nullable = false)))
+  override def prettyName: String = "extract_page"
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val doc = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val text = HtmlCodec.extractTextStr(doc)
+    val links = HtmlCodec.extractOutlinksStr(doc)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(text),
+      new GenericArrayData(links.map(UTF8String.fromString).toArray[Any]))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ExtractPageExpr =
+    copy(child = newChild)
+}
+
 /** E7: robots gate — true iff the url's path starts with no disallow prefix. */
 case class RobotsAllowsExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -124,6 +147,7 @@ object SpiderFunctions {
   def url_canonicalize(url: Column): Column = col(UrlCanonicalizeExpr(ex(url)))
   def extract_text(html: Column): Column = col(ExtractTextExpr(ex(html)))
   def extract_outlinks(html: Column): Column = col(ExtractOutlinksExpr(ex(html)))
+  def extract_page(html: Column): Column = col(ExtractPageExpr(ex(html)))
   def robots_allows(url: Column, prefixes: Column): Column =
     col(RobotsAllowsExpr(ex(url), ex(prefixes)))
   def wrap_html(docId: Column, text: Column, outlinks: Column): Column =

@@ -49,13 +49,24 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
 
   def manifest(round: Int): JsonNode = mapper.readTree(manifestPath(round).toFile)
 
-  /** Write one table's round delta/state and return (rows, per-partition lineage). */
+  /** Write one table's round delta/state and return (rows, per-partition
+    * lineage). Lineage comes from the parquet file footers (one data file per
+    * write partition) — driver-side metadata only, no extra Spark job; the
+    * same way an Iceberg manifest records per-file row counts. */
   private def writeTable(table: String, round: Int, df: DataFrame): (Long, Seq[(Int, Long)]) = {
     val dir = dataDir(table, round)
     df.write.mode("overwrite").parquet(dir)
-    val written = spark.read.parquet(dir)
-    val parts = written.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (pid, reader.getRecordCount) finally reader.close()
+      }.toSeq
     (parts.map(_._2).sum, parts)
   }
 
@@ -76,6 +87,14 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     node.put("round", round)
 
     val tables = node.putObject("tables")
+    val verbose = sys.env.contains("GRAFT_COMMIT_VERBOSE")
+    def timed[A](name: String)(body: => A): A = {
+      val t = System.nanoTime()
+      val r = body
+      if (verbose) System.err.println(
+        f"[commit] $name ${(System.nanoTime() - t) / 1e9}%.1fs")
+      r
+    }
     def record(name: String, stats: (Long, Seq[(Int, Long)])): Unit = {
       val t = tables.putObject(name)
       t.put("path", dataDir(name, round))
@@ -85,10 +104,11 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
         val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
       }
     }
-    record("frontier", writeTable("frontier", round, frontier))
-    record("seen", writeTable("seen", round, seenDelta))
-    record("hoststate", writeTable("hoststate", round, hostState))
-    crawledDelta.foreach(df => record("crawled", writeTable("crawled", round, df)))
+    timed("frontier")(record("frontier", writeTable("frontier", round, frontier)))
+    timed("seen")(record("seen", writeTable("seen", round, seenDelta)))
+    timed("hoststate")(record("hoststate", writeTable("hoststate", round, hostState)))
+    crawledDelta.foreach(df =>
+      timed("crawled")(record("crawled", writeTable("crawled", round, df))))
 
     bloomBytes.foreach { bytes =>
       val tmp = bloomPath(round).resolveSibling(bloomPath(round).getFileName.toString + ".tmp")

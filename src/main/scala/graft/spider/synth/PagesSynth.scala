@@ -113,6 +113,26 @@ object PagesSynth {
       .select(concat(col("source"), lit(".example.com")).as("host")).distinct())
   }
 
+  /** Seed frontier drawn from an already-synthesized (possibly host-spread)
+    * corpus: the first `perReplicaDocs` docs of every replica — spreads the
+    * seeds over all replica host namespaces for bench-scale frontiers. */
+  def seedsFromPages(spark: SparkSession, pages: DataFrame, perReplicaDocs: Int,
+      cfg: CrawlConfig): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    import graft.spider.expr.SpiderFunctions.url_canonicalize
+    pages
+      .withColumn("doc", regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
+      .filter(pmod(col("doc"), lit(ReplicaStride)) < perReplicaDocs)
+      .withColumn("url", url_canonicalize(col("url")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .select(
+        col("url"), xxhash64(col("url")).as("url_hash"),
+        col("host"), xxhash64(col("host")).as("host_hash"),
+        lit(cfg.seedPriority).as("priority"),
+        lit(0).as("discovered_round"), col("warc_ts"))
+      .as[FrontierEntry]
+  }
+
   /** Same rules over an arbitrary host set (e.g. a host-spread bench corpus). */
   def robotsFor(spark: SparkSession, hosts: DataFrame): Dataset[RobotsRule] = {
     import spark.implicits._

@@ -28,6 +28,8 @@ object CrawlDemo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

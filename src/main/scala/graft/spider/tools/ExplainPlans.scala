@@ -24,6 +24,8 @@ object ExplainPlans {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

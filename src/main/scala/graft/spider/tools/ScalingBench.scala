@@ -27,9 +27,14 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", math.max(64, cpus * 2).toString)
+      // partitions sized to the parallelism level; AQE coalesces the many
+      // small crawl-state shuffles (a fixed large P anti-scales: 64 tiny
+      // write/shuffle tasks × 32 threads contend on the local FS/scheduler)
+      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -37,13 +42,14 @@ object ScalingBench {
       CrawlDriver.crawlFromSf(spark, sfDir, CrawlConfig(rounds = 1),
         java.nio.file.Files.createTempDirectory("graft-warm-").toString)
 
-      val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, nSeeds = 1000)
+      val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true)
       val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPages = pages.count()
       val robots = PagesSynth.robotsFor(spark,
         pages.select(expr("parse_url(url, 'HOST')").as("host")).distinct())
-      val seeds = PagesSynth.seeds(spark, sfDir, cfg)
+      // seeds spread over every replica's host namespace
+      val seeds = PagesSynth.seedsFromPages(spark, pages, perReplicaDocs = 50, cfg)
       val state = java.nio.file.Files.createTempDirectory("graft-scale-").toString
 
       val t0 = System.nanoTime()

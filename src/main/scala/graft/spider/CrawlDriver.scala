@@ -57,8 +57,10 @@ object CrawlDriver {
       val hostState = catalog.readHostState(r - 1)
       val prevBloom = catalog.readBloom(r - 1)
 
+      val frontierIn = catalog.manifest(r - 1)
+        .get("tables").get("frontier").get("rows").asLong()
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
-        hostState, r, cfg, prevBloom)
+        hostState, r, cfg, prevBloom, frontierIn)
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta)

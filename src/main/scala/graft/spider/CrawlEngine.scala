@@ -56,25 +56,20 @@ object CrawlEngine {
       hostStatePrev: DataFrame,
       round: Int,
       cfg: CrawlConfig,
-      bloomBytes: Option[Array[Byte]]): RoundOutput = {
+      bloomBytes: Option[Array[Byte]],
+      frontierIn: Long): RoundOutput = {
 
     val t0 = System.nanoTime()
     val defaultDelayMs = 1000L
 
     // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
+    // frontierIn comes from the previous snapshot manifest (no extra count).
+    if (cfg.verbose) System.err.println(s"[round $round] start")
     val gated = frontier
       .join(broadcast(robots), Seq("host"), "left_outer")
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       .withColumn("allowed",
         coalesce(robots_allows(col("url"), col("disallow_prefixes")), lit(true)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    if (cfg.verbose) System.err.println(s"[round $round] start")
-    val s1 = gated.agg(
-      count(lit(1)),
-      sum(when(!col("allowed"), 1L).otherwise(0L))).head()
-    val frontierIn = s1.getLong(0)
-    val blocked = if (s1.isNullAt(1)) 0L else s1.getLong(1)
 
     val eligible = gated.filter(col("allowed"))
       .withColumn("budget", greatest(lit(1L), floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
@@ -90,7 +85,15 @@ object CrawlEngine {
       else
         ranked.filter(col("rank_in_host") > col("budget"))
           .select(frontierCols.map(col): _*)
-    val dequeuedN = dequeued.count()
+    // one job: eligible + dequeued counts (robots-blocked = frontierIn - eligible)
+    val s1 = ranked.agg(count(lit(1)),
+      sum(when(col("rank_in_host") <= col("budget"), 1L).otherwise(0L))).head()
+    val dequeuedN = if (s1.isNullAt(1)) 0L else s1.getLong(1)
+    // two-phase ranking drops phase-1 losers from `ranked`, so count the
+    // full eligible set separately in that mode
+    val eligibleN =
+      if (cfg.twoPhaseDequeue) eligible.count() else s1.getLong(0)
+    val blocked = frontierIn - eligibleN
     if (cfg.verbose) System.err.println(s"[round $round] dequeue done: $dequeuedN @${(System.nanoTime() - t0) / 1e9}")
 
     // ---- 2/3 fetch-simulation + extraction ----
@@ -186,13 +189,12 @@ object CrawlEngine {
         coalesce(col("delay"), col("prev_delay")).as("crawl_delay_ms"),
         (coalesce(col("prev_total"), lit(0L)) + coalesce(col("n"), lit(0L))).as("fetched_total"))
 
-    val eligibleN = frontierIn - blocked
     val counters = RoundCounters(round, frontierIn, blocked, dequeuedN, fetchedN,
       missingN, linksN, candN, candN - enqueuedN, enqueuedN,
       (eligibleN - dequeuedN) + enqueuedN)
 
     RoundOutput(crawledDelta, frontierNext, seenDelta, hostStateNext, counters,
-      bloomDelta, Seq(gated, ranked, extracted, cand, newEntries))
+      bloomDelta, Seq(ranked, extracted, cand, newEntries))
   }
 
   /** O1/W1: canonical per-host dequeue ranking. Plain single window by

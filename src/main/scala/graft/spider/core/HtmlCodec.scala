@@ -77,9 +77,15 @@ object HtmlCodec {
   }
 
   /** Deterministic Common-Crawl-style page wrap (FIXTURES.md §1). The
-    * extractor inverts this byte-for-byte on the `text` payload. */
-  def wrap(docId: Long, text: String, outlinks: Seq[String]): Array[Byte] = {
-    val sb = new StringBuilder(text.length + 256)
+    * extractor inverts this byte-for-byte on the `text` payload.
+    *
+    * `noiseLen` > 0 pads the page with that many bytes of extractor-ignored
+    * markup (boilerplate divs inside a trailing script block) — used by the
+    * bench to give pages realistic Common-Crawl sizes (tens of KB) so the
+    * per-URL extraction work is honest; the byte-identity invariant is
+    * untouched because the extractor skips everything outside `<p>`. */
+  def wrap(docId: Long, text: String, outlinks: Seq[String], noiseLen: Int = 0): Array[Byte] = {
+    val sb = new StringBuilder(text.length + 256 + noiseLen)
     sb.append("<html><head><title>doc ").append(docId).append("</title></head><body>\n")
     sb.append("<p>").append(encodeEntities(text)).append("</p>\n")
     var j = 0
@@ -89,6 +95,17 @@ object HtmlCodec {
     }
     sb.append('\n')
     sb.append("<script>/* noise ignored by extractor */</script>\n")
+    if (noiseLen > 0) {
+      sb.append("<script>/*")
+      val pattern = "boilerplate-" + (docId % 97) + " nav footer sidebar tracker "
+      var remaining = noiseLen
+      while (remaining > 0) {
+        val chunk = math.min(remaining, pattern.length)
+        sb.append(pattern, 0, chunk)
+        remaining -= chunk
+      }
+      sb.append("*/</script>\n")
+    }
     sb.append("</body></html>")
     sb.toString.getBytes(UTF_8)
   }

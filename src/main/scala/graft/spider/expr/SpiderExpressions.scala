@@ -99,14 +99,16 @@ case class RobotsAllowsExpr(left: Expression, right: Expression)
 
 /** S2 helper: deterministic Common-Crawl-style html wrap of (doc_id, text,
   * outlinks) — the fixture generator as a Catalyst expression. */
-case class WrapHtmlExpr(first: Expression, second: Expression, third: Expression)
+case class WrapHtmlExpr(first: Expression, second: Expression, third: Expression,
+    noiseLen: Int = 0)
     extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "wrap_html"
   override protected def nullSafeEval(docId: Any, text: Any, outlinks: Any): Any = {
     val arr = outlinks.asInstanceOf[ArrayData]
     val links = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
-    HtmlCodec.wrap(docId.asInstanceOf[Long], text.asInstanceOf[UTF8String].toString, links)
+    HtmlCodec.wrap(docId.asInstanceOf[Long], text.asInstanceOf[UTF8String].toString,
+      links, noiseLen)
   }
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): WrapHtmlExpr =
@@ -150,8 +152,8 @@ object SpiderFunctions {
   def extract_page(html: Column): Column = col(ExtractPageExpr(ex(html)))
   def robots_allows(url: Column, prefixes: Column): Column =
     col(RobotsAllowsExpr(ex(url), ex(prefixes)))
-  def wrap_html(docId: Column, text: Column, outlinks: Column): Column =
-    col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks)))
+  def wrap_html(docId: Column, text: Column, outlinks: Column, noiseLen: Int = 0): Column =
+    col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks), noiseLen))
   def bloom_might_contain(bloomBytes: Column, value: Column): Column =
     col(BloomMightContainExpr(ex(bloomBytes), ex(value)))
 

@@ -104,11 +104,19 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
         val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
       }
     }
-    timed("frontier")(record("frontier", writeTable("frontier", round, frontier)))
-    timed("seen")(record("seen", writeTable("seen", round, seenDelta)))
-    timed("hoststate")(record("hoststate", writeTable("hoststate", round, hostState)))
-    crawledDelta.foreach(df =>
-      timed("crawled")(record("crawled", writeTable("crawled", round, df))))
+    // The four table writes are independent jobs over already-persisted
+    // parents — submit them concurrently (the manifest rename below remains
+    // the single atomic commit point, so concurrency never weakens atomicity).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes: Seq[(String, Future[(Long, Seq[(Int, Long)])])] = Seq(
+      "frontier" -> Future(timed("frontier")(writeTable("frontier", round, frontier))),
+      "seen" -> Future(timed("seen")(writeTable("seen", round, seenDelta))),
+      "hoststate" -> Future(timed("hoststate")(writeTable("hoststate", round, hostState)))) ++
+      crawledDelta.map(df =>
+        "crawled" -> Future(timed("crawled")(writeTable("crawled", round, df)))).toSeq
+    writes.foreach { case (name, f) => record(name, Await.result(f, Duration.Inf)) }
 
     bloomBytes.foreach { bytes =>
       val tmp = bloomPath(round).resolveSibling(bloomPath(round).getFileName.toString + ".tmp")

@@ -39,7 +39,7 @@ object PagesSynth {
     * (source → source + "rk"), so the frontier spans K×20 hosts — replica 0
     * keeps the base hosts, which keeps the seed list valid. */
   def pages(spark: SparkSession, sfDir: String, replicate: Int = 1,
-      spreadHosts: Boolean = false): DataFrame = {
+      spreadHosts: Boolean = false, noiseLen: Int = 0): DataFrame = {
     val docs0 = documents(spark, sfDir).select("doc_id", "text", "lang", "source")
     val n0 = assertContiguous(docs0)
     val nTotal = n0 * replicate
@@ -83,7 +83,7 @@ object PagesSynth {
         x => x.getField("tgt_url")).as("outlinks"))
 
     base.join(links, "doc_id")
-      .withColumn("html", wrap_html(col("doc_id"), col("text"), col("outlinks")))
+      .withColumn("html", wrap_html(col("doc_id"), col("text"), col("outlinks"), noiseLen))
       .select("url", "warc_ts", "html", "text", "lang")
   }
 

@@ -23,7 +23,8 @@ object ScalingBench {
     def urlsPerSec: Double = fetched / secs
   }
 
-  def runAt(cpus: Int, sfDir: String, replicate: Int, rounds: Int): LevelResult = {
+  def runAt(cpus: Int, sfDir: String, replicate: Int, rounds: Int,
+      noiseLen: Int, perReplicaDocs: Int): LevelResult = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
@@ -35,6 +36,9 @@ object ScalingBench {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       .config("spark.driver.bindAddress", "127.0.0.1")
+      // bench I/O on tmpfs when provided: the sandbox's virtualized disk has
+      // sporadic multi-second stalls unrelated to the engine (BENCH notes)
+      .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -43,14 +47,18 @@ object ScalingBench {
         java.nio.file.Files.createTempDirectory("graft-warm-").toString)
 
       val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true)
-      val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true)
+      val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
+          noiseLen = noiseLen)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPages = pages.count()
       val robots = PagesSynth.robotsFor(spark,
         pages.select(expr("parse_url(url, 'HOST')").as("host")).distinct())
       // seeds spread over every replica's host namespace
-      val seeds = PagesSynth.seedsFromPages(spark, pages, perReplicaDocs = 50, cfg)
-      val state = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+      val seeds = PagesSynth.seedsFromPages(spark, pages, perReplicaDocs, cfg)
+      val stateBase = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_STATE_DIR", System.getProperty("java.io.tmpdir")))
+      java.nio.file.Files.createDirectories(stateBase)
+      val state = java.nio.file.Files.createTempDirectory(stateBase, "graft-scale-").toString
 
       val t0 = System.nanoTime()
       val catalog = CrawlDriver.run(spark, pages, seeds, robots, cfg, state)
@@ -70,8 +78,12 @@ object ScalingBench {
     val replicate = if (args.length > 1) args(1).toInt else 20
     val rounds = if (args.length > 2) args(2).toInt else 4
     val cpusList = (if (args.length > 3) args(3) else "8,32").split(",").map(_.trim.toInt)
+    val noiseLen = if (args.length > 4) args(4).toInt else 0
+    val perReplicaDocs = if (args.length > 5) args(5).toInt else 50
 
-    val results = cpusList.map(c => runAt(c, sfDir, replicate, rounds))
+    // NOTE: run ONE parallelism level per JVM (a second SparkContext in the
+    // same JVM stalls sporadically in this sandbox; see BENCH/BASELINE.md).
+    val results = cpusList.map(c => runAt(c, sfDir, replicate, rounds, noiseLen, perReplicaDocs))
     val parts = results.map { r =>
       f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f}"""
     }

@@ -24,6 +24,16 @@ class HtmlCodecSpec extends AnyFunSuite with GenSampling {
       }
   }
 
+  test("noise padding is invisible to extraction (bench page-size knob)") {
+    val text = "the quick brown fox & friends"
+    val links = Seq("https://a.example.com/doc/1")
+    val plain = HtmlCodec.wrap(5L, text, links)
+    val padded = HtmlCodec.wrap(5L, text, links, noiseLen = 32768)
+    assert(padded.length >= plain.length + 32768)
+    assert(HtmlCodec.extractText(padded) == text)
+    assert(HtmlCodec.extractOutlinks(padded) == links)
+  }
+
   test("outlinks round-trip in order") {
     val links = Seq("https://a.example.com/doc/1", "https://b.example.com/doc/2?x=1",
       "https://c.example.com/doc/3")

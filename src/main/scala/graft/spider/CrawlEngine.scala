@@ -101,9 +101,19 @@ object CrawlEngine {
       lit(Corpus.FetchBaseMicros + round.toLong * cfg.roundLenMs * 1000L) +
         (col("rank_in_host") - 1).cast("long") * col("crawl_delay_ms") * lit(1000L))
 
+    // J1 strategy: broadcast the dequeued side while it is small (no pages
+    // movement, but the broadcast build is driver-serial); once a round
+    // dequeues more than fetchBroadcastMax URLs, switch to a shuffled hash
+    // join — if `pages` was pre-partitioned by url (CrawlDriver does this),
+    // only the small dequeued side shuffles and the probe is fully parallel.
+    // This is the strategy that survives scale: a 10^10-URL frontier round
+    // can never broadcast its dequeued set.
+    val dequeuedSel = dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")
+    val fetchSide =
+      if (dequeuedN <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
+      else dequeuedSel.hint("shuffle_hash")
     val extracted = pages
-      .join(broadcast(dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")),
-        Seq("url"), "inner")
+      .join(fetchSide, Seq("url"), "inner")
       .withColumn("page", extract_page(col("html"))) // ONE html decode (E5+E6 fused)
       .withColumn("outlinks", col("page.outlinks"))
       .withColumn("etext", col("page.text"))

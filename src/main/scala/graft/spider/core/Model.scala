@@ -64,6 +64,9 @@ case class CrawlConfig(
     /** salted two-phase dequeue ranking for mega-host skew (J4/W1) */
     twoPhaseDequeue: Boolean = false,
     bloomPrefilter: Boolean = true,
+    /** dequeued rows above this switch the fetch join from broadcast to
+      * shuffled-hash (pages side pre-partitioned by url stays in place) */
+    fetchBroadcastMax: Long = 100000L,
     /** per-round phase timing to stderr */
     verbose: Boolean = false,
     bloomExpectedItems: Long = 1L << 20,

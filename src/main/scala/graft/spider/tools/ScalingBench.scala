@@ -47,8 +47,11 @@ object ScalingBench {
         java.nio.file.Files.createTempDirectory("graft-warm-").toString)
 
       val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true)
+      // pre-partition the corpus by url: large-round fetch joins then only
+      // shuffle the (small) dequeued side — the at-scale layout (bucketing)
       val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
           noiseLen = noiseLen)
+        .repartition(cpus * 2, col("url"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPages = pages.count()
       val robots = PagesSynth.robotsFor(spark,

@@ -26,11 +26,13 @@ object Demos {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** pages cache per (session, sfDir): the synth corpus is reused by many
-    * demo queries within one Verify/Bench process. */
-  private val pagesCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  /** pages cache keyed by (session id, sfDir): the synth corpus is reused by
+    * many demo queries within one Verify/Bench process. Keying on the session
+    * id (not just sfDir) keeps a stopped-and-recreated session from handing
+    * out DataFrames bound to a dead SparkContext. */
+  private val pagesCache = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def pages(s: SparkSession, dir: String): DataFrame =
-    pagesCache.getOrElseUpdate(dir, {
+    pagesCache.getOrElseUpdate((s, dir), {
       val df = PagesSynth.pages(s, dir).persist()
       df.count()
       df
@@ -550,6 +552,7 @@ object Demos {
         "FROM documents) SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM d " +
         "GROUP BY text ORDER BY doc_id"),
     "token_count" ->
-      ("SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+      ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) " +
         "AS n_tokens FROM documents ORDER BY doc_id"))
 }

@@ -98,7 +98,8 @@ object CrawlDriver {
     val robots =
       if (spreadHosts)
         PagesSynth.robotsFor(spark, pages
-          .select(org.apache.spark.sql.functions.expr("parse_url(url, 'HOST')").as("host"))
+          .select(graft.spider.expr.SpiderFunctions.url_host(
+            org.apache.spark.sql.functions.col("url")).as("host"))
           .distinct())
       else PagesSynth.robots(spark, sfDir)
     val catalog = run(spark, pages, PagesSynth.seeds(spark, sfDir, cfg),

@@ -142,7 +142,10 @@ object CrawlEngine {
       extracted
         .select(col("warc_ts").as("parent_ts"), explode(col("outlinks")).as("raw_url"))
         .withColumn("url", url_canonicalize(col("raw_url")))
-        .withColumn("host", expr("parse_url(url, 'HOST')"))
+        // E2 via the shared core (UrlCanonical.host), NOT parse_url: the
+        // built-in nulls out URLs java.net.URI rejects, which would drop
+        // candidates the oracle keeps (engine≡oracle would diverge).
+        .withColumn("host", url_host(col("url")))
         .filter(col("host").isNotNull))
       .groupBy("url")
       .agg(min(col("parent_ts")).as("warc_ts"), min(col("host")).as("host"))

@@ -33,6 +33,24 @@ case class UrlCanonicalizeExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** E2: host component via the SAME shared core as the oracle
+  * (UrlCanonical.host). The built-in parse_url delegates to java.net.URI,
+  * which returns NULL for URLs it rejects (spaces, illegal chars) — the
+  * oracle would keep those candidates, so using parse_url on the discovery
+  * path would silently diverge on any non-pristine corpus. */
+case class UrlHostExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = UrlCanonical.host(input.asInstanceOf[UTF8String].toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
+  override protected def withNewChildInternal(newChild: Expression): UrlHostExpr =
+    copy(child = newChild)
+}
+
 /** E5: EC-Spider item-parsing semantics — extracted text of a page. */
 case class ExtractTextExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -147,6 +165,7 @@ object SpiderFunctions {
   private def ex(c: Column): Expression = GraftColumnBridge.expression(c)
 
   def url_canonicalize(url: Column): Column = col(UrlCanonicalizeExpr(ex(url)))
+  def url_host(url: Column): Column = col(UrlHostExpr(ex(url)))
   def extract_text(html: Column): Column = col(ExtractTextExpr(ex(html)))
   def extract_outlinks(html: Column): Column = col(ExtractOutlinksExpr(ex(html)))
   def extract_page(html: Column): Column = col(ExtractPageExpr(ex(html)))
@@ -163,6 +182,8 @@ object SpiderFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("url_canonicalize",
       (args: Seq[Expression]) => UrlCanonicalizeExpr(args.head), "scala_udf")
+    reg.createOrReplaceTempFunction("url_host",
+      (args: Seq[Expression]) => UrlHostExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_text",
       (args: Seq[Expression]) => ExtractTextExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_outlinks",

@@ -39,11 +39,14 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   /** Highest round with a committed (atomic-renamed) manifest. */
   def latestRound: Option[Int] = {
     if (!Files.isDirectory(snapDir)) return None
-    val rs = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toInt }
-      .toSeq
+    val stream = Files.list(snapDir)
+    val rs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toInt }
+        .toSeq
+      finally stream.close()
     if (rs.isEmpty) None else Some(rs.max)
   }
 

@@ -119,12 +119,12 @@ object PagesSynth {
   def seedsFromPages(spark: SparkSession, pages: DataFrame, perReplicaDocs: Int,
       cfg: CrawlConfig): Dataset[FrontierEntry] = {
     import spark.implicits._
-    import graft.spider.expr.SpiderFunctions.url_canonicalize
+    import graft.spider.expr.SpiderFunctions.{url_canonicalize, url_host}
     pages
       .withColumn("doc", regexp_extract(col("url"), "/doc/([0-9]+)$", 1).cast("long"))
       .filter(pmod(col("doc"), lit(ReplicaStride)) < perReplicaDocs)
       .withColumn("url", url_canonicalize(col("url")))
-      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("host", url_host(col("url")))
       .select(
         col("url"), xxhash64(col("url")).as("url_hash"),
         col("host"), xxhash64(col("host")).as("host_hash"),

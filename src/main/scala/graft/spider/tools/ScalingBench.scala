@@ -55,7 +55,8 @@ object ScalingBench {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nPages = pages.count()
       val robots = PagesSynth.robotsFor(spark,
-        pages.select(expr("parse_url(url, 'HOST')").as("host")).distinct())
+        pages.select(graft.spider.expr.SpiderFunctions.url_host(col("url")).as("host"))
+          .distinct())
       // seeds spread over every replica's host namespace
       val seeds = PagesSynth.seedsFromPages(spark, pages, perReplicaDocs, cfg)
       val stateBase = java.nio.file.Paths.get(

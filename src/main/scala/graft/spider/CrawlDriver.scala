@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.spider.core._
 import graft.spider.sketch.Sketches
-import graft.spider.state.CrawlCatalog
+import graft.spider.state.{CrawlCatalog, SketchParams}
 
 /** Multi-round crawl driver (SURVEY.md §3.2): opens-or-resumes the IceLite
   * catalog, then runs rounds r0+1..R, committing a snapshot per round.
@@ -16,8 +16,19 @@ import graft.spider.state.CrawlCatalog
   * committed manifest and, because every ordering the contract depends on is
   * a pure function of (state, round), replays to the same crawl ordering and
   * URL-seen set as an uninterrupted run.
+  *
+  * Commits are staged through [[CrawlCatalog.PendingCommit]]: the engine
+  * launches each table write as soon as its frame is final, overlapping
+  * state I/O with the rest of the round's compute; the manifest rename in
+  * `finalizeCommit` stays the single atomic commit point.
   */
 object CrawlDriver {
+
+  private def sketchParamsOf(cfg: CrawlConfig): SketchParams =
+    SketchParams(cfg.seenBuckets, cfg.bloomShards, cfg.bloomExpectedItems, cfg.bloomFpp)
+
+  private def perShard(cfg: CrawlConfig): Long =
+    math.max(1024L, cfg.bloomExpectedItems / cfg.bloomShards)
 
   /** Run (or resume) a crawl; returns the catalog positioned at cfg.rounds. */
   def run(
@@ -29,59 +40,84 @@ object CrawlDriver {
       stateDir: String): CrawlCatalog = {
 
     val catalog = new CrawlCatalog(stateDir, spark)
+    val params = sketchParamsOf(cfg)
     val robotsDf = robots.toDF().persist()
     robotsDf.count() // materialize once; broadcast-joined every round
 
-    val startRound = catalog.latestRound match {
-      case Some(r) => r
+    // (startRound, sketch blob) — resume validates the storage layout and
+    // rebuilds the Bloom when the stored params are incompatible with cfg
+    // (filters built under different (shards, n, fpp) cannot be merged).
+    val (startRound, bloom0) = catalog.latestRound match {
+      case Some(r) =>
+        val stored = catalog.sketchParams(r).getOrElse(throw new IllegalStateException(
+          s"catalog at $stateDir has no sketch_params manifest entry; " +
+            "it was written by an incompatible engine version"))
+        require(stored.seenBuckets == cfg.seenBuckets,
+          s"cannot resume: catalog seen table is bucketed ${stored.seenBuckets}-way " +
+            s"but cfg.seenBuckets=${cfg.seenBuckets} (the bucket layout is fixed per catalog)")
+        val bloomCompatible = stored.bloomShards == cfg.bloomShards &&
+          stored.bloomExpectedItems == cfg.bloomExpectedItems &&
+          stored.bloomFpp == cfg.bloomFpp
+        val blob =
+          if (!cfg.bloomPrefilter) None
+          else (catalog.readBloom(r), bloomCompatible) match {
+            case (b @ Some(_), true) => b
+            case _ => // params changed, or the prior run had the sketch off
+              System.err.println(s"[crawl] rebuilding seen Bloom from catalog " +
+                s"(stored params $stored incompatible with cfg)")
+              Some(catalog.readSeen(r)
+                .agg(Sketches.shardedBloomAgg(col("url_hash"), cfg.bloomShards,
+                  perShard(cfg), cfg.bloomFpp))
+                .head().getAs[Array[Byte]](0))
+          }
+        (r, blob)
       case None =>
-        val seedsDf = seeds.toDF().repartition(col("host_hash"))
-          .persist()
+        val seedsDf = seeds.toDF().persist()
         val nSeeds = seedsDf.count()
-        val bloom0 = seedsDf.agg(
-          Sketches.bloomAgg(col("url_hash"), cfg.bloomExpectedItems, cfg.bloomFpp))
-          .head().getAs[Array[Byte]](0)
+        val blob =
+          if (!cfg.bloomPrefilter) None
+          else Some(seedsDf.agg(
+            Sketches.shardedBloomAgg(col("url_hash"), cfg.bloomShards,
+              perShard(cfg), cfg.bloomFpp))
+            .head().getAs[Array[Byte]](0))
         import spark.implicits._
         val emptyHostState = spark.emptyDataset[HostState].toDF()
-        catalog.commitRound(0, seedsDf, seedsDf.select("url_hash", "url"),
-          emptyHostState, None, Some(bloom0),
+        val seenDelta = seedsDf.select(col("url_hash"), col("url"))
+          .withColumn("seen_bucket", CrawlEngine.seenBucketCol(col("url_hash"), cfg.seenBuckets))
+        catalog.commitRound(0, seedsDf, seenDelta, emptyHostState, None, blob, params,
           RoundCounters(0, 0, 0, 0, 0, 0, 0, nSeeds, 0, nSeeds, nSeeds))
         seedsDf.unpersist()
-        0
+        (0, blob)
     }
 
+    var bloom: Option[Array[Byte]] = bloom0
     for (r <- (startRound + 1) to cfg.rounds) {
       val tR = System.nanoTime()
       val frontier = catalog.readFrontier(r - 1)
-      val seen = catalog.readSeen(r - 1)
+      val seen = catalog.readSeenBucketed(r - 1)
       val hostState = catalog.readHostState(r - 1)
-      val prevBloom = catalog.readBloom(r - 1)
 
       val frontierIn = catalog.manifest(r - 1)
         .get("tables").get("frontier").get("rows").asLong()
+      val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
-        hostState, r, cfg, prevBloom, frontierIn)
+        hostState, r, cfg, bloom, frontierIn, pc.stage)
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta)
-      // (the delta filter was built inside the round's enqueued-count job).
-      val newBloom = (prevBloom, out.bloomDelta) match {
-        case (Some(prev), Some(delta)) =>
-          val merged = Sketches.bloomFrom(prev)
-          merged.mergeInPlace(Sketches.bloomFrom(delta))
-          Some(Sketches.bloomBytes(merged))
-        case (None, d @ Some(_)) => d
-        case (prev, None)        => prev
+      // per shard (the delta was built inside the round's discovery job).
+      bloom = (bloom, out.bloomDelta) match {
+        case (Some(prev), Some(delta)) => Some(Sketches.mergeShardedBlobs(prev, delta))
+        case (None, d @ Some(_))       => d
+        case (prev, None)              => prev
       }
 
       val tC = System.nanoTime()
-      catalog.commitRound(r,
-        out.frontierNext.repartition(col("host_hash")), // AQE sizes the partition count
-        out.seenDelta, out.hostStateNext, Some(out.crawledDelta), newBloom,
-        out.counters)
+      pc.finalizeCommit(bloom, params, out.counters)
       out.persisted.foreach(_.unpersist())
+      out.broadcasts.foreach(_.destroy())
       if (cfg.verbose) System.err.println(
-        f"[crawl] round $r compute=$tCompute%.1fs commit=${(System.nanoTime() - tC) / 1e9}%.1fs " +
+        f"[crawl] round $r compute=$tCompute%.1fs commit-drain=${(System.nanoTime() - tC) / 1e9}%.1fs " +
           s"fetched=${out.counters.fetched} frontier_out=${out.counters.frontier_out}")
     }
     catalog
@@ -98,8 +134,7 @@ object CrawlDriver {
     val robots =
       if (spreadHosts)
         PagesSynth.robotsFor(spark, pages
-          .select(graft.spider.expr.SpiderFunctions.url_host(
-            org.apache.spark.sql.functions.col("url")).as("host"))
+          .select(graft.spider.expr.SpiderFunctions.url_host(col("url")).as("host"))
           .distinct())
       else PagesSynth.robots(spark, sfDir)
     val catalog = run(spark, pages, PagesSynth.seeds(spark, sfDir, cfg),

@@ -1,5 +1,6 @@
 package graft.spider
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,6 +8,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.spider.core.{Corpus, CrawlConfig, RoundCounters}
 import graft.spider.expr.SpiderFunctions._
+import graft.spider.sketch.Sketches
 
 /** One crawl round as a typed Dataset/DataFrame job (SURVEY.md §3.2).
   *
@@ -14,57 +16,76 @@ import graft.spider.expr.SpiderFunctions._
   * host / url_hash are the explicit node boundaries):
   *
   *   1 dequeue:  frontier ⨝ broadcast(robots) → robots gate (F1/E7)
+  *               → NARROW per-(host, priority) counts give eligible/dequeued
+  *                 counters AND a per-host priority cutoff: entries whose
+  *                 priority is strictly below the cutoff provably cannot be
+  *                 in the host's politeness-budget top-k (the ordering is
+  *                 priority-first), so the expensive full-row window ranks
+  *                 only winnable rows — at a 10^10-entry frontier the rank
+  *                 touches ~hosts·budget rows, not the whole frontier
   *               → per-host rank by (priority desc, warc_ts, url_hash, url)
   *               (O1/W1: the window's hash exchange on host IS the explicit
   *               host partitioning; the window sort is the within-partition
   *               sort; trailing keys make the order total ⇒ replayable)
   *   2 fetch:    pages ⨝ broadcast(dequeued) on url (J1) — the dequeued side
   *               is politeness-budget-bounded (≤ budget rows per host), so it
-  *               is always the broadcast side; no shuffle of the fat corpus
+  *               is always the broadcast side; no shuffle of the fat corpus.
+  *               crawled + hoststate table writes are STAGED here — they
+  *               overlap the discovery stage below (commit stays atomic: the
+  *               manifest rename happens only after every write lands)
   *   3 extract:  extract_text / extract_outlinks (E5/E6, Catalyst exprs)
   *   4 discover: explode (G1) → url_canonicalize (E1) → xxhash64 (E3)
   *               → in-batch dedup (groupBy url, min parent warc_ts)
-  *               → Bloom prefilter split (F2) → exact anti-join vs seen (J3)
-  *   5 commit:   handled by CrawlDriver via the IceLite catalog
+  *               → sharded-Bloom prefilter (F2, filters via
+  *                 SparkContext.broadcast — never expression-tree literals)
+  *               → exact seen check (J3), FLIPPED: the bucketed seen history
+  *                 is SCANNED (semi-join against the broadcast candidate
+  *                 keys, bucket column in the join key) and never shuffled;
+  *                 candidates then anti-join the tiny hit set. One job
+  *                 computes candN + enqueuedN + the round's Bloom delta.
+  *   5 commit:   frontier/seen staged; CrawlDriver finalizes the manifest
   *
   * The Bloom prefilter splits candidates into definitely-new (bloom says
   * absent — a Bloom filter has no false negatives, so these skip the exact
-  * anti-join entirely) and maybe-seen (bloom says present — only these pay
-  * the anti-join, which resolves false positives exactly). The seen-set
-  * SEMANTICS are always the exact anti-join; the sketch only saves work.
+  * membership probe entirely) and maybe-seen (only these probe the seen
+  * table, which resolves false positives exactly). The seen-set SEMANTICS
+  * are always the exact check; the sketch only saves work.
   */
 object CrawlEngine {
 
   case class RoundOutput(
-      crawledDelta: DataFrame,
-      frontierNext: DataFrame,
-      seenDelta: DataFrame,
-      hostStateNext: DataFrame,
       counters: RoundCounters,
       bloomDelta: Option[Array[Byte]],
-      persisted: Seq[DataFrame])
+      persisted: Seq[DataFrame],
+      broadcasts: Seq[Broadcast[_]])
 
   private val frontierCols =
     Seq("url", "url_hash", "host", "host_hash", "priority", "discovered_round", "warc_ts")
+
+  /** seen_bucket storage/probe key — MUST match the layout recorded in the
+    * catalog manifest (validated by CrawlDriver on resume). */
+  def seenBucketCol(urlHash: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
+    pmod(urlHash, lit(buckets.toLong)).cast("int")
 
   def runRound(
       spark: SparkSession,
       pages: DataFrame,
       robots: DataFrame,
       frontier: DataFrame,
-      seenAll: DataFrame,
+      seenBucketed: DataFrame,
       hostStatePrev: DataFrame,
       round: Int,
       cfg: CrawlConfig,
       bloomBytes: Option[Array[Byte]],
-      frontierIn: Long): RoundOutput = {
+      frontierIn: Long,
+      stage: (String, DataFrame) => Unit): RoundOutput = {
 
     val t0 = System.nanoTime()
     val defaultDelayMs = 1000L
+    if (cfg.verbose) System.err.println(s"[round $round] start")
 
     // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
     // frontierIn comes from the previous snapshot manifest (no extra count).
-    if (cfg.verbose) System.err.println(s"[round $round] start")
     val gated = frontier
       .join(broadcast(robots), Seq("host"), "left_outer")
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
@@ -73,11 +94,47 @@ object CrawlEngine {
 
     val eligible = gated.filter(col("allowed"))
       .withColumn("budget", greatest(lit(1L), floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val ranked = rankPerHost(eligible, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    // 1a: narrow scheduling stats. groupBy(host, priority) over two thin
+    // columns replaces the old full-row ranked-count job; dequeuedN is exact
+    // arithmetic (Σ_h min(budget_h, Σ_p n_hp)) — ranking not needed to count.
+    val hb = eligible.groupBy("host", "priority")
+      .agg(count(lit(1)).as("n"), first(col("budget")).as("budget"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hbRow = hb.groupBy("host").agg(sum("n").as("tot"), first("budget").as("b"))
+      .agg(count(lit(1)),
+        coalesce(sum(least(col("tot"), col("b"))), lit(0L)),
+        coalesce(sum("tot"), lit(0L)))
+      .head()
+    val hostsN = hbRow.getLong(0)
+    val dequeuedN = hbRow.getLong(1)
+    val eligibleN = hbRow.getLong(2)
+    val blocked = frontierIn - eligibleN
+    if (cfg.verbose) System.err.println(
+      s"[round $round] sched stats: hosts=$hostsN dequeue=$dequeuedN @${(System.nanoTime() - t0) / 1e9}")
+
+    // 1b: per-host priority cutoff. For priority band p of host h, the count
+    // of strictly-higher-priority eligible entries is `higher_cum`; if
+    // higher_cum ≥ budget, every entry at band p ranks > budget (ordering is
+    // priority-first) and can be dropped BEFORE the window — exact pruning.
+    val wCum = Window.partitionBy("host").orderBy(col("priority").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cutoffs0 = hb
+      .withColumn("higher_cum", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .filter(col("higher_cum") < col("budget"))
+      .groupBy("host").agg(min("priority").as("prio_cutoff"))
+    val cutoffs = if (hostsN <= cfg.cutoffBroadcastMax) broadcast(cutoffs0) else cutoffs0
+    val withCut = eligible.join(cutoffs, Seq("host"))
+
+    val ranked = rankPerHost(
+      withCut.filter(col("priority") >= col("prio_cutoff")).drop("prio_cutoff"), cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dequeued = ranked.filter(col("rank_in_host") <= col("budget"))
+    // Residual = everything eligible but not dequeued: over-budget survivors
+    // of the window plus the cutoff-pruned bands (never ranked at all).
     // Two-phase ranking drops phase-1 losers from `ranked`, so the residual
-    // must be computed against the full eligible set in that mode.
+    // is computed against the full eligible set in that mode.
     val residual =
       if (cfg.twoPhaseDequeue)
         eligible.join(dequeued.select("url_hash"), Seq("url_hash"), "left_anti")
@@ -85,16 +142,8 @@ object CrawlEngine {
       else
         ranked.filter(col("rank_in_host") > col("budget"))
           .select(frontierCols.map(col): _*)
-    // one job: eligible + dequeued counts (robots-blocked = frontierIn - eligible)
-    val s1 = ranked.agg(count(lit(1)),
-      sum(when(col("rank_in_host") <= col("budget"), 1L).otherwise(0L))).head()
-    val dequeuedN = if (s1.isNullAt(1)) 0L else s1.getLong(1)
-    // two-phase ranking drops phase-1 losers from `ranked`, so count the
-    // full eligible set separately in that mode
-    val eligibleN =
-      if (cfg.twoPhaseDequeue) eligible.count() else s1.getLong(0)
-    val blocked = frontierIn - eligibleN
-    if (cfg.verbose) System.err.println(s"[round $round] dequeue done: $dequeuedN @${(System.nanoTime() - t0) / 1e9}")
+          .unionByName(withCut.filter(col("priority") < col("prio_cutoff"))
+            .select(frontierCols.map(col): _*))
 
     // ---- 2/3 fetch-simulation + extraction ----
     val fetchTs = timestamp_micros(
@@ -104,7 +153,7 @@ object CrawlEngine {
     // J1 strategy: broadcast the dequeued side while it is small (no pages
     // movement, but the broadcast build is driver-serial); once a round
     // dequeues more than fetchBroadcastMax URLs, switch to a shuffled hash
-    // join — if `pages` was pre-partitioned by url (CrawlDriver does this),
+    // join — if `pages` was pre-partitioned by url (the bench does this),
     // only the small dequeued side shuffles and the probe is fully parallel.
     // This is the strategy that survives scale: a 10^10-URL frontier round
     // can never broadcast its dequeued set.
@@ -133,57 +182,6 @@ object CrawlEngine {
       col("rank_in_host"), col("fetch_ts"), col("etext").as("text"),
       col("lang"), col("n_links"))
 
-    // ---- 4 discover: canonicalize, hash, dedup (in-batch + vs seen) ----
-    val scoped = cfg.scopeHosts match {
-      case Some(hs) => (df: DataFrame) => df.filter(col("host").isin(hs.toSeq: _*))
-      case None     => (df: DataFrame) => df
-    }
-    val cand = scoped(
-      extracted
-        .select(col("warc_ts").as("parent_ts"), explode(col("outlinks")).as("raw_url"))
-        .withColumn("url", url_canonicalize(col("raw_url")))
-        // E2 via the shared core (UrlCanonical.host), NOT parse_url: the
-        // built-in nulls out URLs java.net.URI rejects, which would drop
-        // candidates the oracle keeps (engine≡oracle would diverge).
-        .withColumn("host", url_host(col("url")))
-        .filter(col("host").isNotNull))
-      .groupBy("url")
-      .agg(min(col("parent_ts")).as("warc_ts"), min(col("host")).as("host"))
-      .withColumn("url_hash", xxhash64(col("url")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val candN = cand.count()
-    if (cfg.verbose) System.err.println(s"[round $round] candidates done: $candN @${(System.nanoTime() - t0) / 1e9}")
-
-    val seenKeys = seenAll.select("url_hash")
-    val newUrls = bloomBytes match {
-      case Some(b) if cfg.bloomPrefilter =>
-        val mc = bloom_might_contain(lit(b), col("url_hash"))
-        cand.filter(!mc) // bloom-absent ⇒ provably unseen: skip the anti-join
-          .unionByName(cand.filter(mc).join(seenKeys, Seq("url_hash"), "left_anti"))
-      case _ =>
-        cand.join(seenKeys, Seq("url_hash"), "left_anti")
-    }
-
-    val newEntries = newUrls.select(
-      col("url"), col("url_hash"), col("host"),
-      xxhash64(col("host")).as("host_hash"),
-      lit(Corpus.priorityAtRound(round)).as("priority"),
-      lit(round).as("discovered_round"),
-      col("warc_ts"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // one job: enqueued count + the seen-delta Bloom (merged by the driver)
-    val (enqueuedN, bloomDelta) =
-      if (cfg.bloomPrefilter) {
-        val s3 = newEntries.agg(count(lit(1)),
-          graft.spider.sketch.Sketches.bloomAgg(col("url_hash"),
-            cfg.bloomExpectedItems, cfg.bloomFpp)).head()
-        (s3.getLong(0), if (s3.getLong(0) > 0) Some(s3.getAs[Array[Byte]](1)) else None)
-      } else (newEntries.count(), None)
-    if (cfg.verbose) System.err.println(s"[round $round] antijoin done: $enqueuedN @${(System.nanoTime() - t0) / 1e9}")
-
-    val frontierNext = residual.unionByName(newEntries)
-    val seenDelta = newEntries.select(col("url_hash"), col("url"))
-
     // ---- per-host politeness clocks ----
     val roundHost = extracted.groupBy("host").agg(
       count(lit(1)).as("n"),
@@ -202,12 +200,130 @@ object CrawlEngine {
         coalesce(col("delay"), col("prev_delay")).as("crawl_delay_ms"),
         (coalesce(col("prev_total"), lit(0L)) + coalesce(col("n"), lit(0L))).as("fetched_total"))
 
+    // Stage the two frames that are final after extraction — their writes
+    // overlap the discovery anti-join below.
+    stage("crawled", crawledDelta)
+    stage("hoststate", hostStateNext)
+
+    // ---- 4 discover: canonicalize, hash, dedup (in-batch + vs seen) ----
+    val scoped = cfg.scopeHosts match {
+      case Some(hs) => (df: DataFrame) => df.filter(col("host").isin(hs.toSeq: _*))
+      case None     => (df: DataFrame) => df
+    }
+    val cand = scoped(
+      extracted
+        .select(col("warc_ts").as("parent_ts"), explode(col("outlinks")).as("raw_url"))
+        .withColumn("url", url_canonicalize(col("raw_url")))
+        // E2 via the shared core (UrlCanonical.host), NOT parse_url: the
+        // built-in nulls out URLs java.net.URI rejects, which would drop
+        // candidates the oracle keeps (engine≡oracle would diverge).
+        .withColumn("host", url_host(col("url")))
+        .filter(col("host").isNotNull))
+      .groupBy("url")
+      .agg(min(col("parent_ts")).as("warc_ts"), min(col("host")).as("host"))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Sharded Bloom arrives via SparkContext.broadcast — tasks pull the
+    // blocks once per executor; the expression tree stays tiny at any
+    // filter size (round 1 shipped the filter as a literal: task binaries
+    // ballooned and a driver-held monolith cannot exist at 10^10 URLs).
+    val bloomBc: Option[Broadcast[Array[Array[Byte]]]] =
+      if (cfg.bloomPrefilter)
+        bloomBytes.map(b => spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
+      else None
+
+    // J3 flipped: linksN (an upper bound on |cand|, already counted in the
+    // extract job) decides the strategy with no extra count job.
+    val flip = linksN <= cfg.seenFlipMax
+    val flagged = flagAgainstSeen(cand, seenBucketed, bloomBc, cfg, flip)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ONE job: candidate count + enqueued count + the round's Bloom delta
+    // (sharded, over the new urls only — nulls are skipped by the agg).
+    val perShard = math.max(1024L, cfg.bloomExpectedItems / cfg.bloomShards)
+    val baseAggs = Seq(
+      count(lit(1)),
+      sum(when(col("is_new"), 1L).otherwise(0L)))
+    val aggs = baseAggs ++ (if (cfg.bloomPrefilter)
+      Seq(Sketches.shardedBloomAgg(when(col("is_new"), col("url_hash")),
+        cfg.bloomShards, perShard, cfg.bloomFpp))
+    else Nil)
+    val s3 = flagged.agg(aggs.head, aggs.tail: _*).head()
+    val candN = s3.getLong(0)
+    val enqueuedN = if (s3.isNullAt(1)) 0L else s3.getLong(1)
+    val bloomDelta =
+      if (cfg.bloomPrefilter && enqueuedN > 0) Some(s3.getAs[Array[Byte]](2)) else None
+    if (cfg.verbose) System.err.println(
+      s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
+
+    val newEntries = flagged.filter(col("is_new")).select(
+      col("url"), col("url_hash"), col("host"),
+      xxhash64(col("host")).as("host_hash"),
+      lit(Corpus.priorityAtRound(round)).as("priority"),
+      lit(round).as("discovered_round"),
+      col("warc_ts"))
+
+    val frontierNext = residual.unionByName(newEntries)
+    val seenDelta = newEntries.select(col("url_hash"), col("url"))
+      .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
+    stage("frontier", frontierNext)
+    stage("seen", seenDelta)
+
     val counters = RoundCounters(round, frontierIn, blocked, dequeuedN, fetchedN,
       missingN, linksN, candN, candN - enqueuedN, enqueuedN,
       (eligibleN - dequeuedN) + enqueuedN)
 
-    RoundOutput(crawledDelta, frontierNext, seenDelta, hostStateNext, counters,
-      bloomDelta, Seq(ranked, extracted, cand, newEntries))
+    RoundOutput(counters, bloomDelta,
+      Seq(eligible, hb, ranked, extracted, cand, flagged), bloomBc.toSeq)
+  }
+
+  /** J3: mark each candidate `is_new` against the exact seen set.
+    *
+    * Flipped strategy (`flip`): the bucketed seen history is SCANNED —
+    * semi-joined (url_hash + seen_bucket columns only) against the
+    * broadcast probe keys — and never shuffled; candidates then left-join
+    * the tiny hit set (broadcast). Per-round cost is one parallel scan of
+    * seen, not a 10^10-row exchange. The Bloom prefilter shrinks the probe
+    * set (bloom-absent candidates are provably unseen and skip the probe
+    * entirely — a Bloom filter has no false negatives).
+    *
+    * Fallback (giant candidate rounds): classic shuffled hash join. With a
+    * real Iceberg catalog both sides are bucket-partitioned by url_hash and
+    * this becomes a storage-partitioned join; IceLite cannot report
+    * read-side partitioning to Catalyst, so the fallback pays the exchange.
+    */
+  private[spider] def flagAgainstSeen(
+      cand: DataFrame,
+      seenBucketed: DataFrame,
+      bloomBc: Option[Broadcast[Array[Array[Byte]]]],
+      cfg: CrawlConfig,
+      flip: Boolean): DataFrame = {
+    val seenKeys = seenBucketed.select("url_hash", "seen_bucket")
+    val flagged0 =
+      if (flip) {
+        val probe0 = bloomBc match {
+          case Some(bc) => cand.filter(bloom_sharded_might_contain(bc, col("url_hash")))
+          case None     => cand
+        }
+        val probeKeys = probe0.select(col("url_hash"))
+          .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
+        val hits = seenKeys
+          .join(broadcast(probeKeys), Seq("seen_bucket", "url_hash"), "left_semi")
+          .select(col("url_hash")).withColumn("seen_hit", lit(true))
+        cand.join(broadcast(hits), Seq("url_hash"), "left_outer")
+      } else {
+        val seenFlag = seenKeys.select(col("url_hash")).withColumn("seen_hit", lit(true))
+        bloomBc match {
+          case Some(bc) =>
+            val mc = bloom_sharded_might_contain(bc, col("url_hash"))
+            cand.filter(!mc).withColumn("seen_hit", lit(null).cast("boolean"))
+              .unionByName(cand.filter(mc).join(seenFlag, Seq("url_hash"), "left_outer"))
+          case None =>
+            cand.join(seenFlag, Seq("url_hash"), "left_outer")
+        }
+      }
+    flagged0.withColumn("is_new", col("seen_hit").isNull).drop("seen_hit")
   }
 
   /** O1/W1: canonical per-host dequeue ranking. Plain single window by

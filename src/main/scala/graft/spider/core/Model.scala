@@ -70,7 +70,26 @@ case class CrawlConfig(
     /** per-round phase timing to stderr */
     verbose: Boolean = false,
     bloomExpectedItems: Long = 1L << 20,
-    bloomFpp: Double = 0.03)
+    bloomFpp: Double = 0.03,
+    /** Bloom shards (by pmod(url_hash, shards)); each shard is an
+      * independent filter, so the seen-sketch grows by adding shards
+      * instead of one monolithic filter (SURVEY.md §2.5). */
+    bloomShards: Int = 16,
+    /** seen-set storage buckets: seen deltas are committed under
+      * seen_bucket=pmod(url_hash,N) directory partitions, so membership
+      * probes touch buckets, not the whole history. Fixed per catalog —
+      * resume validates it against the snapshot manifest. */
+    seenBuckets: Int = 64,
+    /** links-per-round bound under which the exact seen anti-join runs
+      * flipped: scan seen once (no shuffle of the history), semi-join it
+      * against the broadcast candidate keys, then anti-join the candidates
+      * against the (tiny) hit set. Above the bound fall back to the classic
+      * shuffled anti-join. */
+    seenFlipMax: Long = 2000000L,
+    /** hosts above this stop broadcasting the per-host priority cutoffs and
+      * shuffle-join them instead (the exchange is then reused by the dequeue
+      * window, which partitions by host anyway). */
+    cutoffBroadcastMax: Long = 1000000L)
 
 /** Per-round counters → snapshot manifest (SURVEY.md §4.4). */
 case class RoundCounters(

@@ -159,6 +159,36 @@ case class BloomMightContainExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** F2 at scale: membership test against SHARDED Bloom filters shipped via
+  * `SparkContext.broadcast` — the filter bytes never enter the expression
+  * tree (no "Broadcasting large task binary" at any filter size; tasks fetch
+  * the blocks once per executor from the block manager). Shard = pmod(hash,
+  * n), matching [[graft.spider.sketch.Sketches.shardOf]] and the sharded
+  * aggregate that built the blob. False positives only — strictly a
+  * prefilter in front of the exact anti-join. */
+case class BloomShardedMightContainExpr(
+    filters: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+    child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_sharded_might_contain"
+
+  @transient private lazy val shards: Array[BloomFilter] =
+    filters.value.map(b =>
+      if (b == null) null
+      else BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val h = input.asInstanceOf[Long]
+    val f = shards(graft.spider.sketch.Sketches.shardOf(h, shards.length))
+    if (f == null) true // missing shard → pass everything to the exact join
+    else f.mightContainLong(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomShardedMightContainExpr =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers + SQL registration for the expressions above. */
 object SpiderFunctions {
   private def col(e: Expression): Column = GraftColumnBridge.column(e)
@@ -175,6 +205,10 @@ object SpiderFunctions {
     col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks), noiseLen))
   def bloom_might_contain(bloomBytes: Column, value: Column): Column =
     col(BloomMightContainExpr(ex(bloomBytes), ex(value)))
+  def bloom_sharded_might_contain(
+      filters: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      value: Column): Column =
+    col(BloomShardedMightContainExpr(filters, ex(value)))
 
   /** Register as SQL temp functions so `spark.sql("... url_canonicalize(u)")`
     * works too. */

@@ -6,9 +6,15 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 import graft.spider.core.RoundCounters
+
+/** Immutable sketch/layout parameters recorded in every manifest and
+  * validated on resume: the seen-bucket layout must match the probe's
+  * bucket function, and Bloom filters built under different (shards,
+  * expectedItems, fpp) cannot be merged. */
+case class SketchParams(seenBuckets: Int, bloomShards: Int,
+    bloomExpectedItems: Long, bloomFpp: Double)
 
 /** "IceLite" — an Iceberg-style snapshot layer over Parquet (SURVEY.md §2.1
   * S5-S7, §4.4). This sandbox ships no Iceberg runtime jar, so crawl state
@@ -18,6 +24,17 @@ import graft.spider.core.RoundCounters
   * counters. Commit = write temp manifest + ATOMIC_MOVE rename; readers
   * resolve `latest` = max valid manifest, so a killed run leaves no visible
   * partial state and resume replays from the last committed round.
+  *
+  * The `seen` table is committed hash-bucketed: directory partitions
+  * `seen_bucket=pmod(url_hash, N)` (N recorded in the manifest and validated
+  * on resume), the IceLite analog of an Iceberg bucket-partitioned table.
+  * The per-round membership probe then scans buckets — never shuffles the
+  * monotonically-growing history (the round-1 #1 scale defect).
+  *
+  * Commits are STAGED: table writes are independent Spark jobs over already-
+  * persisted parents, so the engine launches them as soon as each frame is
+  * final (crawled/hoststate overlap the discovery anti-join) and the
+  * manifest rename at `finalizeCommit` remains the single atomic point.
   *
   * The interface is deliberately narrow so a real Iceberg catalog can be
   * substituted without touching the engine.
@@ -53,28 +70,132 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   def manifest(round: Int): JsonNode = mapper.readTree(manifestPath(round).toFile)
 
   /** Write one table's round delta/state and return (rows, per-partition
-    * lineage). Lineage comes from the parquet file footers (one data file per
-    * write partition) — driver-side metadata only, no extra Spark job; the
-    * same way an Iceberg manifest records per-file row counts. */
+    * lineage). Lineage comes from the parquet file footers — driver-side
+    * metadata only, no extra Spark job; the same way an Iceberg manifest
+    * records per-file row counts. For partitioned writes (the bucketed seen
+    * table) the lineage key is the bucket value, mirroring Iceberg's
+    * per-partition manifest entries. */
   private def writeTable(table: String, round: Int, df: DataFrame): (Long, Seq[(Int, Long)]) = {
     val dir = dataDir(table, round)
-    df.write.mode("overwrite").parquet(dir)
+    val partitioned = df.columns.contains("seen_bucket")
+    val w = df.write.mode("overwrite")
+    (if (partitioned) w.partitionBy("seen_bucket") else w).parquet(dir)
+
     val conf = spark.sessionState.newHadoopConf()
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-      .map { st =>
-        val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (pid, reader.getRecordCount) finally reader.close()
-      }.toSeq
+    val rootPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootPath.getFileSystem(conf)
+    def rowsOf(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }
+    val parts: Seq[(Int, Long)] =
+      if (!partitioned) {
+        fs.listStatus(rootPath)
+          .filter(st => st.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+          .map { st =>
+            val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+            (pid, rowsOf(st))
+          }.toSeq
+      } else {
+        fs.listStatus(rootPath)
+          .filter(_.getPath.getName.startsWith("seen_bucket="))
+          .sortBy(_.getPath.getName)
+          .map { bdir =>
+            val bucket = bdir.getPath.getName.stripPrefix("seen_bucket=").toInt
+            val rows = fs.listStatus(bdir.getPath)
+              .filter(_.getPath.getName.startsWith("part-"))
+              .map(rowsOf).sum
+            (bucket, rows)
+          }.toSeq
+      }
     (parts.map(_._2).sum, parts)
   }
 
-  /** Commit round state atomically. `frontier`/`hostState` are full states;
-    * `seenDelta`/`crawledDelta` are per-round appends. */
+  /** A staged commit for one round: `stage` launches the table write on a
+    * background thread immediately (overlapping later round jobs);
+    * `finalizeCommit` awaits every staged write, then atomically renames the
+    * manifest. Nothing is visible to readers before the rename. */
+  final class PendingCommit private[CrawlCatalog] (round: Int) {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    private val verbose = sys.env.contains("GRAFT_COMMIT_VERBOSE")
+    private val staged =
+      scala.collection.concurrent.TrieMap[String, Future[(Long, Seq[(Int, Long)])]]()
+
+    def stage(table: String, df: DataFrame): Unit = {
+      // Capture the session's active state: the write runs on a pool thread.
+      staged.put(table, Future {
+        val t = System.nanoTime()
+        val r = writeTable(table, round, df)
+        if (verbose) System.err.println(
+          f"[commit] $table ${(System.nanoTime() - t) / 1e9}%.1fs")
+        r
+      })
+    }
+
+    def finalizeCommit(
+        bloomBytes: Option[Array[Byte]],
+        params: SketchParams,
+        counters: RoundCounters): Unit = {
+      val node = mapper.createObjectNode()
+      node.put("snapshot_id", round)
+      node.put("parent_id", round - 1)
+      node.put("round", round)
+
+      val tables = node.putObject("tables")
+      // Deterministic manifest order regardless of staging order.
+      staged.toSeq.sortBy(_._1).foreach { case (name, f) =>
+        val stats = Await.result(f, Duration.Inf)
+        val t = tables.putObject(name)
+        t.put("path", dataDir(name, round))
+        t.put("rows", stats._1)
+        val arr = t.putArray("partitions")
+        stats._2.foreach { case (pid, rows) =>
+          val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
+        }
+      }
+
+      bloomBytes.foreach { bytes =>
+        val tmp = bloomPath(round).resolveSibling(
+          bloomPath(round).getFileName.toString + ".tmp")
+        Files.write(tmp, bytes)
+        Files.move(tmp, bloomPath(round), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        node.put("bloom", bloomPath(round).toString)
+      }
+      val pn = node.putObject("sketch_params")
+      pn.put("seen_buckets", params.seenBuckets)
+      pn.put("bloom_shards", params.bloomShards)
+      pn.put("bloom_expected_items", params.bloomExpectedItems)
+      pn.put("bloom_fpp", params.bloomFpp)
+
+      val c: ObjectNode = node.putObject("counters")
+      c.put("frontier_in", counters.frontier_in)
+      c.put("robots_blocked", counters.robots_blocked)
+      c.put("dequeued", counters.dequeued)
+      c.put("fetched", counters.fetched)
+      c.put("fetch_missing", counters.fetch_missing)
+      c.put("links_extracted", counters.links_extracted)
+      c.put("candidates_new", counters.candidates_new)
+      c.put("deduped_seen", counters.deduped_seen)
+      c.put("enqueued", counters.enqueued)
+      c.put("frontier_out", counters.frontier_out)
+
+      val tmp = snapDir.resolve(s".tmp-snapshot-$round.json")
+      Files.writeString(tmp,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+      Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def beginCommit(round: Int): PendingCommit = new PendingCommit(round)
+
+  /** One-shot commit (round-0 seeds, tests): stage everything, finalize. */
   def commitRound(
       round: Int,
       frontier: DataFrame,
@@ -82,69 +203,24 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       hostState: DataFrame,
       crawledDelta: Option[DataFrame],
       bloomBytes: Option[Array[Byte]],
+      params: SketchParams,
       counters: RoundCounters): Unit = {
+    val pc = beginCommit(round)
+    pc.stage("frontier", frontier)
+    pc.stage("seen", seenDelta)
+    pc.stage("hoststate", hostState)
+    crawledDelta.foreach(df => pc.stage("crawled", df))
+    pc.finalizeCommit(bloomBytes, params, counters)
+  }
 
-    val node = mapper.createObjectNode()
-    node.put("snapshot_id", round)
-    node.put("parent_id", round - 1)
-    node.put("round", round)
-
-    val tables = node.putObject("tables")
-    val verbose = sys.env.contains("GRAFT_COMMIT_VERBOSE")
-    def timed[A](name: String)(body: => A): A = {
-      val t = System.nanoTime()
-      val r = body
-      if (verbose) System.err.println(
-        f"[commit] $name ${(System.nanoTime() - t) / 1e9}%.1fs")
-      r
+  def sketchParams(round: Int): Option[SketchParams] = {
+    val m = manifest(round)
+    if (!m.has("sketch_params")) None
+    else {
+      val p = m.get("sketch_params")
+      Some(SketchParams(p.get("seen_buckets").asInt(), p.get("bloom_shards").asInt(),
+        p.get("bloom_expected_items").asLong(), p.get("bloom_fpp").asDouble()))
     }
-    def record(name: String, stats: (Long, Seq[(Int, Long)])): Unit = {
-      val t = tables.putObject(name)
-      t.put("path", dataDir(name, round))
-      t.put("rows", stats._1)
-      val arr = t.putArray("partitions")
-      stats._2.foreach { case (pid, rows) =>
-        val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
-      }
-    }
-    // The four table writes are independent jobs over already-persisted
-    // parents — submit them concurrently (the manifest rename below remains
-    // the single atomic commit point, so concurrency never weakens atomicity).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val writes: Seq[(String, Future[(Long, Seq[(Int, Long)])])] = Seq(
-      "frontier" -> Future(timed("frontier")(writeTable("frontier", round, frontier))),
-      "seen" -> Future(timed("seen")(writeTable("seen", round, seenDelta))),
-      "hoststate" -> Future(timed("hoststate")(writeTable("hoststate", round, hostState)))) ++
-      crawledDelta.map(df =>
-        "crawled" -> Future(timed("crawled")(writeTable("crawled", round, df)))).toSeq
-    writes.foreach { case (name, f) => record(name, Await.result(f, Duration.Inf)) }
-
-    bloomBytes.foreach { bytes =>
-      val tmp = bloomPath(round).resolveSibling(bloomPath(round).getFileName.toString + ".tmp")
-      Files.write(tmp, bytes)
-      Files.move(tmp, bloomPath(round), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      node.put("bloom", bloomPath(round).toString)
-    }
-
-    val c: ObjectNode = node.putObject("counters")
-    c.put("frontier_in", counters.frontier_in)
-    c.put("robots_blocked", counters.robots_blocked)
-    c.put("dequeued", counters.dequeued)
-    c.put("fetched", counters.fetched)
-    c.put("fetch_missing", counters.fetch_missing)
-    c.put("links_extracted", counters.links_extracted)
-    c.put("candidates_new", counters.candidates_new)
-    c.put("deduped_seen", counters.deduped_seen)
-    c.put("enqueued", counters.enqueued)
-    c.put("frontier_out", counters.frontier_out)
-
-    val tmp = snapDir.resolve(s".tmp-snapshot-$round.json")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def countersOf(round: Int): RoundCounters = {
@@ -163,12 +239,30 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   def readHostState(round: Int): DataFrame =
     spark.read.parquet(manifest(round).get("tables").get("hoststate").get("path").asText())
 
-  /** Seen set = union of committed per-round deltas 0..round. */
-  def readSeen(round: Int): DataFrame = {
-    val paths = (0 to round)
-      .map(r => manifest(r).get("tables").get("seen").get("path").asText())
-    spark.read.parquet(paths: _*)
+  /** Seen set = union of committed per-round deltas 0..round, WITH the
+    * `seen_bucket` partition column — the engine's membership probe filters
+    * on it (bucket pruning). Each round dir is read under its own root so
+    * partition discovery resolves per delta. */
+  def readSeenBucketed(round: Int): DataFrame = {
+    // A drained round may commit an empty delta: a partitioned write with 0
+    // rows leaves no bucket dirs at all, so schema inference would fail —
+    // skip those deltas via the manifest row count (no FS probe needed).
+    val dfs = (0 to round).flatMap { r =>
+      val t = manifest(r).get("tables").get("seen")
+      if (t.get("rows").asLong() == 0L) None
+      else Some(spark.read.parquet(t.get("path").asText()))
+    }
+    if (dfs.nonEmpty) dfs.reduce(_.unionByName(_))
+    else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("url_hash", LongType), StructField("url", StringType),
+          StructField("seen_bucket", IntegerType))))
+    }
   }
+
+  /** Seen set without the storage-layout column (public/table shape). */
+  def readSeen(round: Int): DataFrame = readSeenBucketed(round).drop("seen_bucket")
 
   /** Crawled output accumulated through `round` (round 0 commits none). */
   def readCrawled(round: Int): DataFrame = {

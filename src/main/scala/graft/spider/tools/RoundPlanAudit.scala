@@ -1,0 +1,94 @@
+package graft.spider.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.spider.{CrawlDriver, CrawlEngine}
+import graft.spider.core.CrawlConfig
+import graft.spider.sketch.Sketches
+import graft.spider.state.CrawlCatalog
+import graft.spider.synth.PagesSynth
+
+/** Dump the ENGINE round plans (not just demo queries): the flipped seen
+  * probe and the cutoff-pruned dequeue, as `.explain("formatted")` output.
+  * The audit criteria (BENCH/PLANS.md):
+  *   - seen probe: the seen scan feeds the semi join with NO Exchange above
+  *     it (the only exchanges in the plan belong to the candidate side);
+  *     ReadSchema on the seen scan is url_hash only (+ the bucket partition
+  *     column — not materialized in the files).
+  *   - dequeue: exactly ONE full-row Exchange (hashpartitioning(host)) under
+  *     the rank window; the cutoff filter sits below it.
+  *
+  *   runMain graft.spider.tools.RoundPlanAudit <sfDir> <outFile>
+  */
+object RoundPlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outFile = if (args.length > 1) args(1) else "/tmp/round-plans.md"
+
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cfg = CrawlConfig(rounds = 2)
+    val state = java.nio.file.Files.createTempDirectory("graft-audit-").toString
+    CrawlDriver.crawlFromSf(spark, sfDir, cfg, state)
+    val catalog = new CrawlCatalog(state, spark)
+
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+    val sb = new StringBuilder
+    sb.append(s"# Engine round plans (sf=$sfDir, after a 2-round crawl)\n\n")
+
+    // ---- flipped seen probe over the committed (bucketed) seen history ----
+    val seen = catalog.readSeenBucketed(2)
+    // candidate stand-in = a plain parquet scan, so the probe-side plan
+    // stays readable (a real round's cand comes from the cached extract)
+    val cand = catalog.readFrontier(2)
+      .select(col("url"), col("url_hash"), col("host"), col("warc_ts"))
+    val bloomBc = catalog.readBloom(2).map(b =>
+      spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
+    val flagged = CrawlEngine.flagAgainstSeen(cand, seen, bloomBc, cfg, flip = true)
+    sb.append("## seen probe (flipped, bloom-sharded prefilter)\n\n```\n")
+    sb.append(fmt(flagged)).append("\n```\n\n")
+
+    // ---- cutoff-pruned dequeue over the committed frontier ----
+    val frontier = catalog.readFrontier(2)
+    val robots = PagesSynth.robots(spark, sfDir).toDF()
+    val gated = frontier
+      .join(broadcast(robots), Seq("host"), "left_outer")
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(1000L)))
+      .withColumn("allowed", coalesce(
+        graft.spider.expr.SpiderFunctions.robots_allows(
+          col("url"), col("disallow_prefixes")), lit(true)))
+    val eligible = gated.filter(col("allowed"))
+      .withColumn("budget", greatest(lit(1L),
+        floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
+    val hb = eligible.groupBy("host", "priority")
+      .agg(count(lit(1)).as("n"), first(col("budget")).as("budget"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val cutoffs = hb
+      .withColumn("higher_cum", coalesce(sum(col("n")).over(wCum), lit(0L)))
+      .filter(col("higher_cum") < col("budget"))
+      .groupBy("host").agg(min("priority").as("prio_cutoff"))
+    val ranked = CrawlEngine.rankPerHost(
+      eligible.join(broadcast(cutoffs), Seq("host"))
+        .filter(col("priority") >= col("prio_cutoff")).drop("prio_cutoff"), cfg)
+    sb.append("## dequeue (cutoff-pruned rank window)\n\n```\n")
+    sb.append(fmt(ranked.filter(col("rank_in_host") <= col("budget")))).append("\n```\n\n")
+
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    println(s"wrote $outFile")
+    spark.stop()
+  }
+}

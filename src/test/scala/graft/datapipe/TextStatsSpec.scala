@@ -32,6 +32,47 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     cases.foreach { case (t, want) => assert(got(t) == want, s"'$t' → ${got(t)}") }
   }
 
+  test("langId accuracy ≥ 0.95 on a deterministic 125-sentence multilingual corpus") {
+    import spark.implicits._
+    // Stopword-rich template vocab per language (diacritics disambiguate
+    // the fr/es/de overlap); sentences are a fixed affine walk through the
+    // vocab — deterministic, no RNG.
+    val vocab = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with", "for", "a",
+        "house", "dog", "table", "day", "water"),
+      "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "pour", "une",
+        "maison", "chien", "jour", "très", "être"),
+      "es" -> Seq("el", "la", "los", "las", "y", "de", "es", "en", "que", "una",
+        "casa", "perro", "día", "agua", "muy"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "ein", "nicht",
+        "haus", "hund", "tag", "wasser", "sehr"))
+    val latin = for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 25
+    } yield (lang, (0 until 12).map(j => words((i * 7 + j * 5 + j * j) % words.size)).mkString(" "))
+    val cjk = (0 until 25).map(i => ("zh", "数据表扫描连接查询引擎" * (1 + i % 3)))
+    val rows = latin ++ cjk
+    val got = rows.toDF("lang", "text")
+      .select(col("lang"), TextStats.langId(col("text")).as("pred"))
+      .collect()
+    val acc = got.count(r => r.getString(0) == r.getString(1)).toDouble / got.length
+    assert(acc >= 0.95, s"langId accuracy $acc; misses: " +
+      got.filter(r => r.getString(0) != r.getString(1)).take(5).mkString(", "))
+  }
+
+  test("fixture documents.lang is a synthetic LABEL, not a text property (documented limit)") {
+    // All fixture texts are drawn from one English-ish vocabulary regardless
+    // of the lang column, so label-based accuracy is undefined there — this
+    // pins that fact so the limitation stays documented and visible.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val preds = docs.select(TextStats.langId(col("text")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "und")),
+      s"fixture texts should classify en/und uniformly, got $preds")
+    val labels = docs.select("lang").distinct().count()
+    assert(labels >= 4) // the labels DO span languages — the texts don't
+  }
+
   test("quality score ranks clean text above punctuation spam") {
     import spark.implicits._
     val df = Seq(

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   *  - MinHash-LSH: candidate generation shuffles on (band_idx, band_hash) —
   *    uniform by construction; verification joins only candidate pairs,
   *    never the full cross product.
-  *  - SimHash: banding the 64-bit fingerprint into 4×16-bit keys finds all
-  *    pairs within Hamming distance 3 (pigeonhole) with 4 uniform shuffles.
+  *  - SimHash: Manku-style multi-table banding — C(k+2, 2) two-block
+  *    composite keys (~26 bits each) find all pairs within Hamming k
+  *    exactly (pigeonhole), with bucket key spaces that keep growing past
+  *    the 65,536-bucket ceiling a single 16-bit block key would impose.
   */
 object Dedup {
 
@@ -109,19 +111,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-duplicate pairs within `maxHamming` (< 4): band the 64-bit
-    * fingerprint into 4×16 bits; any pair within Hamming 3 shares ≥1 exact
-    * band (pigeonhole), verified with bit_count(xor). */
-  def simhashPairs(
+  /** Block boundaries for the Manku-style scheme: `blocks` contiguous bit
+    * ranges covering the 64-bit fingerprint, widths as even as possible. */
+  private def blockRanges(blocks: Int): Seq[(Int, Int)] = { // (offset, width)
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = (0 until blocks).map(i => if (i < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash candidate pairs (pre-verification) under Manku-style
+    * multi-table banding: split the 64-bit fingerprint into
+    * `blocks = maxHamming + 2` bit-blocks; ≤ maxHamming differing bits
+    * touch ≤ maxHamming blocks, leaving ≥ 2 intact, so EVERY true pair
+    * shares at least one of the C(blocks, 2) two-block composite keys
+    * (pigeonhole) — exact recall. The composite keys are ~26 bits wide
+    * (vs the 16-bit single-block keys of the naive 4-band scheme), so the
+    * per-table bucket count scales to 10^9+ corpora instead of capping at
+    * 65,536 buckets whose population — and the within-bucket self-join —
+    * would otherwise grow linearly/quadratically with corpus size. */
+  private[datapipe] def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "4-band scheme guarantees recall only for hamming <= 3")
+      maxHamming: Int): DataFrame = {
     import PipeFunctions._
+    require(maxHamming >= 1 && maxHamming <= 6,
+      "blocks = maxHamming + 2 must stay within the 64-bit fingerprint")
+    val blocks = maxHamming + 2
+    val ranges = blockRanges(blocks)
+    def block(i: Int): Column = {
+      val (off, w) = ranges(i)
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1L))
+    }
+    val combos = for (i <- 0 until blocks; j <- (i + 1) until blocks) yield (i, j)
+
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("simhash", simhash64(array_distinct(tokensCol(col("text")))))
     val banded = base.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(combos.map { case (i, j) =>
+        // two ≤14-bit blocks packed into disjoint 16-bit lanes
+        shiftleft(block(i), 16).bitwiseOR(block(j))
+      }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_key")
     val a = banded.select(col("band_idx"), col("band_key"),
@@ -131,10 +160,18 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` (default 3):
+    * multi-table banded candidates (exact recall by pigeonhole — see
+    * [[simhashCandidates]]) verified with bit_count(xor). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashCandidates(df, idCol, textCol, maxHamming)
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-  }
 
   /** Exact n-gram Jaccard for a given candidate pair set (id_a, id_b) —
     * the verification kernel alone, reusable outside LSH. */

@@ -41,8 +41,9 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (seeded splitmix; no wall
-    * clock / Random in the data path). */
-  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    * clock / Random in the data path). `seedOffset` selects an independent
+    * plane family (second-level bucketing, multi-table variants). */
+  private def planes(nPlanes: Int, dim: Int, seedOffset: Int = 0): Seq[Seq[Double]] = {
     def mix(x0: Long): Long = {
       var x = x0 + 0x9e3779b97f4a7c15L
       x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -52,14 +53,23 @@ object Similarity {
     (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         // uniform in [-1, 1): fine for sign-projection hyperplanes
-        mix(p.toLong * 131071 + d).toDouble / Long.MaxValue.toDouble
+        mix((p.toLong + seedOffset) * 131071 + d).toDouble / Long.MaxValue.toDouble
       }
     }
   }
 
+  /** Plane count scaled to the corpus: 2^planes ≈ corpus / targetBucket, so
+    * the expected bucket width stays ~targetBucket as the corpus grows —
+    * the round-1 fixed nPlanes=6 capped the space at 64 buckets whose
+    * population (and any within-bucket join) grew linearly with corpus. */
+  def planesFor(corpusRows: Long, targetBucket: Long = 256L): Int = {
+    val ratio = math.max(1.0, corpusRows.toDouble / math.max(1L, targetBucket))
+    math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt)
+  }
+
   /** Random-hyperplane LSH bucket id (int of nPlanes sign bits). */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seedOffset: Int = 0): Column = {
+    val ps = planes(nPlanes, dim, seedOffset)
     val bits = ps.zipWithIndex.map { case (plane, i) =>
       val dot = aggregate(zip_with(vec, typedLit(plane), (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
@@ -68,16 +78,26 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share the query's LSH bucket, then exact
-    * cosine re-ranks. Trades recall for touching ~corpus/2^nPlanes rows per
-    * query; raise recall with fewer planes or multi-probe. */
+  /** Approximate top-k: candidates share one of the query's probe buckets,
+    * then exact cosine re-ranks. `multiProbe = p` additionally probes every
+    * bucket within Hamming distance p of the query's (p ∈ {0, 1}): the
+    * standard recall lever that does NOT widen the corpus-side buckets —
+    * only the (small, broadcast) query side fans out ×(1 + nPlanes). */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64, multiProbe: Int = 1): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= 1, "multiProbe ∈ {0, 1}")
     val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val qb = queries.withColumn("bucket", lshBucket(col(qvecCol), nPlanes, dim))
+    val qb0 = queries.withColumn("bucket0", lshBucket(col(qvecCol), nPlanes, dim))
+    val probes: Seq[Column] = col("bucket0") +:
+      (if (multiProbe >= 1)
+        (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1 << i)))
+      else Nil)
+    val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col(qidCol) =!= col(idCol))
+      // a candidate can arrive via several probes — dedup before ranking
+      .dropDuplicates(qidCol, idCol)
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(qidCol)
       .orderBy(col("cosine").desc, col(idCol).asc)
@@ -88,13 +108,29 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
-    * Exact within-bucket; recall grows with fewer planes. */
+    * Exact within-bucket. Buckets larger than `maxBucket` are sub-split with
+    * an INDEPENDENT plane family, capping the within-bucket self-join at
+    * ~maxBucket·corpus instead of quadratic blowup when the level-1 space
+    * saturates. Identical vectors always share both levels (recall 1.0 for
+    * exact copies); for near-dups at threshold θ the sub-split can only drop
+    * pairs inside oversized buckets, each with probability
+    * ≈ extraPlanes·arccos(θ)/π (θ = 0.999 → < 1%). */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      threshold: Double, nPlanes: Int = 8, dim: Int = 64,
+      maxBucket: Long = 10000L, extraPlanes: Int = 4): DataFrame = {
     val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val a = cb.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = cb.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("bucket"))
+    val sizes = cb.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val cb2 = cb.join(broadcast(sizes), Seq("bucket")) // ≤ 2^nPlanes rows
+      .withColumn("sub_bucket",
+        when(col("bucket_n") > maxBucket,
+          lshBucket(col(vecCol), extraPlanes, dim, seedOffset = nPlanes))
+          .otherwise(lit(0)))
+      .drop("bucket_n")
+    val a = cb2.select(col("bucket"), col("sub_bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = cb2.select(col("bucket"), col("sub_bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("bucket", "sub_bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)

@@ -444,22 +444,28 @@ object Demos {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (the scale path; recall vs brute checked in tests)
+    // LSH-bucketed ANN (the scale path: planes scale with the corpus so
+    // bucket width stays ~constant; multi-probe recovers recall on the
+    // query side only; recall vs brute checked in SimilaritySpec)
     "embed_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
+      val nPlanes = Similarity.planesFor(e.count(), targetBucket = 64)
       Similarity.lshTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5,
-          nPlanes = 6, dim = 64)
+          nPlanes = nPlanes, dim = 64, multiProbe = 1)
         .orderBy("query_id", "rank")
     }),
 
-    // embedding near-duplicate pairs (corpus ∪ exact copies)
+    // embedding near-duplicate pairs (corpus ∪ exact copies); oversized
+    // buckets sub-split with an independent plane family (bounded self-join)
     "embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val dup = e.withColumn("vec_id", col("vec_id") + 100000)
-      Similarity.embeddingNearDupPairs(e.unionByName(dup), "vec_id", "embedding",
-          threshold = 0.999, nPlanes = 6, dim = 64)
+      val all = e.unionByName(dup)
+      val nPlanes = Similarity.planesFor(e.count() * 2, targetBucket = 64)
+      Similarity.embeddingNearDupPairs(all, "vec_id", "embedding",
+          threshold = 0.999, nPlanes = nPlanes, dim = 64, maxBucket = 200L)
         .orderBy("id_a", "id_b")
     }),
 

@@ -63,6 +63,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out == brute, s"engine=${out.size} brute=${brute.size}")
   }
 
+  test("simhash candidate count stays ~0 on 5000 distinct docs (26-bit composite keys)") {
+    // 5000 docs with hash-derived token soups → near-uniform fingerprints.
+    // Old 4×16-bit banding: E[collisions] ≈ 4·C(5000,2)/2^16 ≈ 760 spurious
+    // candidates (and growing linearly with corpus). The C(5,2) two-block
+    // ~26-bit keys give E ≈ 10·C(5000,2)/2^26 ≈ 2.
+    val synth = spark.range(5000).selectExpr("id as doc_id",
+      "array_join(transform(sequence(0, 29), j -> concat('t', xxhash64(id, j) % 100000)), ' ') as text")
+    val candidates = Dedup.simhashCandidates(synth, "doc_id", "text", maxHamming = 3)
+    val n = candidates.count()
+    assert(n <= 50, s"expected ~0 spurious candidates on distinct docs, got $n")
+  }
+
   test("shingles: short texts yield one whole-text shingle") {
     import spark.implicits._
     val out = Seq("one two").toDF("text")

@@ -50,6 +50,83 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(3)}")
   }
 
+  test("exact-copy recall stays 1.0 when oversized buckets are sub-split (bucket cap)") {
+    // maxBucket = 1 forces EVERY bucket through the level-2 sub-split:
+    // identical vectors share both levels, so no exact-copy pair is lost.
+    val dup = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val pairs = Similarity.embeddingNearDupPairs(
+      emb.select("vec_id", "embedding").unionByName(dup),
+      "vec_id", "embedding", threshold = 0.999, nPlanes = 4, dim = 64,
+      maxBucket = 1L, extraPlanes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = vecs.keySet.map(i => (i, i + 100000))
+    assert(expected.subsetOf(pairs), s"missing ${(expected -- pairs).take(3)}")
+  }
+
+  test("multi-probe lifts lshTopK recall vs brute (and never hurts it)") {
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nPlanes = Similarity.planesFor(vecs.size.toLong, targetBucket = 64)
+    def recallOf(multiProbe: Int): Double = {
+      val got = Similarity.lshTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 5,
+        nPlanes = nPlanes, dim = 64, multiProbe = multiProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (0L until 20L).flatMap { qid =>
+        vecs.toSeq.filter(_._1 != qid)
+          .map { case (id, v) => (id, cosine(vecs(qid), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map { case (id, _) => (qid, id) }
+      }.toSet
+      brute.count(got).toDouble / brute.size
+    }
+    val r0 = recallOf(0)
+    val r1 = recallOf(1)
+    info(f"lshTopK recall@5: single-probe $r0%.2f, multi-probe $r1%.2f (nPlanes=$nPlanes)")
+    assert(r1 >= r0, s"multi-probe must not lose candidates: $r1 < $r0")
+    // The fixture vectors are ~uniform random — the ANN worst case (top-5
+    // "neighbors" of a uniform point sit barely above the cosine noise
+    // floor, so sign-LSH carries little signal). Multi-probe still roughly
+    // quadruples recall here; the clustered-corpus test below checks the
+    // regime LSH is actually built for.
+    assert(r1 >= 0.4, s"multi-probe recall too low even for uniform vectors: $r1")
+  }
+
+  test("lshTopK recall ≥ 0.9 on a clustered corpus (the regime ANN serves)") {
+    import spark.implicits._
+    // 50 deterministic cluster centers × 10 members with small perturbation:
+    // a member's true top-5 are its cluster siblings.
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long, dim: Int, scale: Double): Array[Float] =
+      (0 until dim).map(d => (mix(seed * 8191 + d).toDouble / Long.MaxValue * scale).toFloat).toArray
+    val dim = 64
+    val rows = for (c <- 0 until 50; m <- 0 until 10) yield {
+      val center = unit(c.toLong + 1, dim, 1.0)
+      val noise = unit(c.toLong * 1000 + m + 7, dim, 0.05)
+      ((c * 10 + m).toLong, center.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val local = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val q = df.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nPlanes = Similarity.planesFor(500L, targetBucket = 64)
+    val got = Similarity.lshTopK(df, "vec_id", "embedding", q, "qid", "qvec", 5,
+      nPlanes = nPlanes, dim = dim, multiProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = local.keys.filter(_ % 10 == 0).flatMap { qid =>
+      local.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(local(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = brute.count(got).toDouble / brute.size
+    info(f"clustered recall@5 = $recall%.3f (nPlanes=$nPlanes)")
+    assert(recall >= 0.9, s"clustered-corpus recall $recall")
+  }
+
   test("lshTopK returns correctly-scored, correctly-ranked same-bucket candidates") {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

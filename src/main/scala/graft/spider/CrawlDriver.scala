@@ -91,6 +91,10 @@ object CrawlDriver {
     }
 
     var bloom: Option[Array[Byte]] = bloom0
+    // Cumulative seen rows (manifest metadata, no Spark job) — drives the
+    // engine's cost-based flip-vs-classic choice for the seen check.
+    var seenRows: Long = (0 to startRound).map(r =>
+      catalog.manifest(r).get("tables").get("seen").get("rows").asLong()).sum
     for (r <- (startRound + 1) to cfg.rounds) {
       val tR = System.nanoTime()
       val frontier = catalog.readFrontier(r - 1)
@@ -101,7 +105,8 @@ object CrawlDriver {
         .get("tables").get("frontier").get("rows").asLong()
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
-        hostState, r, cfg, bloom, frontierIn, pc.stage)
+        hostState, r, cfg, bloom, frontierIn, seenRows, pc.stage)
+      seenRows += out.counters.enqueued
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta)

@@ -78,6 +78,7 @@ object CrawlEngine {
       cfg: CrawlConfig,
       bloomBytes: Option[Array[Byte]],
       frontierIn: Long,
+      seenRows: Long,
       stage: (String, DataFrame) => Unit): RoundOutput = {
 
     val t0 = System.nanoTime()
@@ -233,9 +234,13 @@ object CrawlEngine {
         bloomBytes.map(b => spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
       else None
 
-    // J3 flipped: linksN (an upper bound on |cand|, already counted in the
-    // extract job) decides the strategy with no extra count job.
-    val flip = linksN <= cfg.seenFlipMax
+    // J3 strategy, cost-based with no extra count job: linksN (an upper
+    // bound on |cand|, already counted in the extract job) vs seenRows
+    // (from the snapshot manifests). Flip — scan seen, broadcast candidate
+    // keys — only in its winning regime, seen ≫ candidates; otherwise the
+    // fully-distributed classic join (no driver-serial broadcast step).
+    val flip = linksN <= cfg.seenFlipMax &&
+      seenRows.toDouble >= cfg.seenFlipRatio * math.max(1L, linksN)
     val flagged = flagAgainstSeen(cand, seenBucketed, bloomBc, cfg, flip)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

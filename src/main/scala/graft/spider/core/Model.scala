@@ -78,14 +78,22 @@ case class CrawlConfig(
     /** seen-set storage buckets: seen deltas are committed under
       * seen_bucket=pmod(url_hash,N) directory partitions, so membership
       * probes touch buckets, not the whole history. Fixed per catalog —
-      * resume validates it against the snapshot manifest. */
-    seenBuckets: Int = 64,
+      * resume validates it against the snapshot manifest. Scale N with the
+      * corpus (sandbox default 16; a 10^10-URL catalog wants 2^10+ so a
+      * bucket stays executor-sized). */
+    seenBuckets: Int = 16,
     /** links-per-round bound under which the exact seen anti-join runs
       * flipped: scan seen once (no shuffle of the history), semi-join it
       * against the broadcast candidate keys, then anti-join the candidates
       * against the (tiny) hit set. Above the bound fall back to the classic
       * shuffled anti-join. */
     seenFlipMax: Long = 2000000L,
+    /** flip only when the seen history is at least this many times the
+      * candidate bound — the flip's purpose is seen ≫ candidates (it trades
+      * a driver-serial broadcast of the candidate keys for NOT shuffling
+      * the history; when the two sides are comparable the fully-distributed
+      * classic join is both faster and scales better). */
+    seenFlipRatio: Double = 4.0,
     /** hosts above this stop broadcasting the per-host priority cutoffs and
       * shuffle-join them instead (the exchange is then reused by the dequeue
       * window, which partitions by host anyway). */

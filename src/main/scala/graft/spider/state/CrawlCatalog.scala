@@ -78,7 +78,19 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   private def writeTable(table: String, round: Int, df: DataFrame): (Long, Seq[(Int, Long)]) = {
     val dir = dataDir(table, round)
     val partitioned = df.columns.contains("seen_bucket")
-    val w = df.write.mode("overwrite")
+    // Cluster rows by bucket before a partitioned write: without it every
+    // write task emits a file per bucket value it touches (tasks × buckets
+    // small files per round — measured as a commit-drain that GREW with
+    // core count). One exchange of the small delta → one file per bucket.
+    val toWrite =
+      if (partitioned) df.repartition(org.apache.spark.sql.functions.col("seen_bucket"))
+      else df
+    // Committer v2 (task-side renames, no serial driver-side job-commit
+    // rename pass): safe HERE because IceLite's atomicity comes from the
+    // manifest ATOMIC_MOVE in finalizeCommit, never from job-commit
+    // atomicity — a torn table write without a manifest is invisible.
+    val w = toWrite.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
     (if (partitioned) w.partitionBy("seen_bucket") else w).parquet(dir)
 
     val conf = spark.sessionState.newHadoopConf()
@@ -89,26 +101,34 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try reader.getRecordCount finally reader.close()
     }
+    // Footer reads are tiny but each costs a sandboxed FS round trip —
+    // fan them out (bucketed tables have one file per bucket).
+    def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+    }
     val parts: Seq[(Int, Long)] =
       if (!partitioned) {
-        fs.listStatus(rootPath)
+        val files = fs.listStatus(rootPath)
           .filter(st => st.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName)
-          .map { st =>
-            val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
-            (pid, rowsOf(st))
-          }.toSeq
+          .sortBy(_.getPath.getName).toSeq
+        inParallel(files) { st =>
+          val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+          (pid, rowsOf(st))
+        }
       } else {
-        fs.listStatus(rootPath)
+        val bdirs = fs.listStatus(rootPath)
           .filter(_.getPath.getName.startsWith("seen_bucket="))
-          .sortBy(_.getPath.getName)
-          .map { bdir =>
-            val bucket = bdir.getPath.getName.stripPrefix("seen_bucket=").toInt
-            val rows = fs.listStatus(bdir.getPath)
-              .filter(_.getPath.getName.startsWith("part-"))
-              .map(rowsOf).sum
-            (bucket, rows)
-          }.toSeq
+          .sortBy(_.getPath.getName).toSeq
+        inParallel(bdirs) { bdir =>
+          val bucket = bdir.getPath.getName.stripPrefix("seen_bucket=").toInt
+          val rows = fs.listStatus(bdir.getPath)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(rowsOf).sum
+          (bucket, rows)
+        }
       }
     (parts.map(_._2).sum, parts)
   }

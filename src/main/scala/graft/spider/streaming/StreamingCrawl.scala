@@ -83,4 +83,98 @@ object StreamingCrawl {
         expr("parse_url(url, 'HOST')").as("host"))
       .agg(count(lit(1)).as("n_pages"))
       .select(col("window.start").as("window_start"), col("host"), col("n_pages"))
+
+  // ------------------------------------------------------------------
+  // Continuous discovery loop (SURVEY §2.10 stretch, VERDICT r1 gap #2):
+  // frontier discovery as a CHAINED streaming pipeline over file sources.
+  // Each stage's checkpoint tracks processed files, so re-triggering with
+  // Trigger.AvailableNow drains exactly the increment — repeated waves
+  // form the continuous crawl loop without any batch-driver orchestration:
+  //
+  //   fetchedDir  --discover-->  frontierDir  --fetchJoin(corpus)-->  fetchedDir
+  //
+  // Politeness/ordering stay the batch engine's contract; the streaming
+  // loop's contract is REACHABILITY: after k waves the fetched set equals
+  // the k-step BFS closure of the seeds over the corpus link graph
+  // (asserted against a batch BFS in StreamingCrawlSpec).
+  // ------------------------------------------------------------------
+
+  /** Stage 1: watch fetched pages, explode + canonicalize their outlinks
+    * into frontier candidates (in-stream dedup within the watermark; the
+    * exact cross-wave dedup is the fetch join's anti-join below). */
+  def discover(spark: SparkSession, fetchedDir: String, checkpointDir: String,
+      frontierDir: String): StreamingQuery = {
+    spark.readStream.schema(pageSchema).parquet(fetchedDir)
+      .select(col("warc_ts").as("parent_ts"),
+        explode(extract_outlinks(col("html"))).as("raw_url"))
+      .withColumn("url", url_canonicalize(col("raw_url")))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .withColumn("host", url_host(col("url")))
+      .filter(col("host").isNotNull)
+      // Event time for dedup state = DISCOVERY time (the batch timestamp):
+      // monotone across waves, like fetch time in a real crawl. The page's
+      // warc_ts is corpus metadata and NOT monotone — watermarking on it
+      // would drop later waves' candidates as late data.
+      .withColumn("crawl_ts", current_timestamp())
+      .withWatermark("crawl_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("url_hash")
+      .select("url", "url_hash", "host", "parent_ts")
+      .writeStream
+      .format("parquet")
+      .option("path", frontierDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Stage 2: fetch-simulation — stream the frontier, inner-join the STATIC
+    * page corpus on url (stream-static join: no state store, the corpus
+    * side is a plain scan each microbatch), drop urls already fetched
+    * (stream-static anti-join against the fetched dir), append the newly
+    * fetched pages back to `fetchedDir` — closing the loop. */
+  def fetchWave(spark: SparkSession, corpus: DataFrame, frontierDir: String,
+      checkpointDir: String, fetchedDir: String): StreamingQuery = {
+    val frontierSchema = StructType(Seq(
+      StructField("url", StringType), StructField("url_hash", LongType),
+      StructField("host", StringType), StructField("parent_ts", TimestampType)))
+    val stream = spark.readStream.schema(frontierSchema).parquet(frontierDir)
+      .select("url")
+    stream
+      .join(corpus, Seq("url"), "inner")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // exact cross-wave seen check: static read of everything fetched so
+        // far (file-source checkpoints dedup the FRONTIER increment; this
+        // anti-join dedups across waves exactly, mirroring the batch J3)
+        val spark2 = batch.sparkSession
+        val already =
+          try spark2.read.schema(pageSchema).parquet(fetchedDir).select("url")
+          catch { case _: Throwable => spark2.emptyDataFrame.withColumn("url", lit("")) }
+        batch.join(already, Seq("url"), "left_anti")
+          .select("url", "warc_ts", "html", "text", "lang")
+          .write.mode("append").parquet(fetchedDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Run `waves` discovery→fetch cycles over a CLOSED static corpus, seeded
+    * by dropping the seed pages into `fetchedDir` first. Returns the fetched
+    * corpus after the last wave. Each wave drains exactly the increment the
+    * previous wave appended (file-source offsets in the checkpoints). */
+  def discoveryLoop(spark: SparkSession, corpus: DataFrame, workDir: String,
+      waves: Int): DataFrame = {
+    val fetchedDir = s"$workDir/fetched"
+    val frontierDir = s"$workDir/frontier"
+    for (_ <- 1 to waves) {
+      discover(spark, fetchedDir, s"$workDir/ckpt-discover", frontierDir)
+        .awaitTermination()
+      fetchWave(spark, corpus, frontierDir, s"$workDir/ckpt-fetch", fetchedDir)
+        .awaitTermination()
+    }
+    spark.read.schema(pageSchema).parquet(fetchedDir)
+  }
 }

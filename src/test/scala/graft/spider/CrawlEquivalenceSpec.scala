@@ -127,6 +127,18 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     assert(frontierSet(catalog, 3) == oracleFrontierSet(oracleRes))
   }
 
+  test("flipped seen probe ≡ classic shuffled join (strategy never changes semantics)") {
+    val oracleRes = CrawlOracle.run(oraclePages,
+      CrawlOracle.seeds(docs, CrawlConfig(rounds = 3)), CrawlConfig(rounds = 3))
+    // ratio 0 forces the flip every round; MaxValue forces classic
+    val flip = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = 0.0))
+    val classic = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = Double.MaxValue))
+    assert(crawledTuples(flip, 3) == oracleTuples(oracleRes))
+    assert(crawledTuples(classic, 3) == oracleTuples(oracleRes))
+    assert(seenSet(flip, 3) == oracleRes.seen)
+    assert(seenSet(classic, 3) == oracleRes.seen)
+  }
+
   test("kill/resume: rounds 0-1 then resume 2-3 ≡ uninterrupted 0-3") {
     val dirA = tmpState()
     engineCrawl(CrawlConfig(rounds = 1), dirA) // "killed" after round 1

@@ -32,6 +32,38 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkTestBase {
     assert(joined.filter(col("stream_text") =!= col("text")).count() == 0)
   }
 
+  test("discovery loop: k waves ≡ k-step batch BFS closure of the seeds") {
+    import graft.spider.expr.SpiderFunctions._
+    val work = Files.createTempDirectory("graft-loop-").toString
+    val corpus = PagesSynth.pages(spark, sfDir).persist()
+    corpus.count()
+
+    // seed the loop: drop the first 10 pages as "already fetched"
+    val seeds = corpus.orderBy("url").limit(10)
+    seeds.write.mode("overwrite").parquet(s"$work/fetched")
+
+    val waves = 3
+    val fetched = StreamingCrawl.discoveryLoop(spark, corpus, work, waves)
+      .select("url").collect().map(_.getString(0)).toSet
+
+    // batch BFS with the same per-wave semantics (outlinks of everything
+    // fetched so far, joined against the closed corpus)
+    var batch = seeds.select("url")
+    for (_ <- 1 to waves) {
+      val next = batch.join(corpus, Seq("url"))
+        .select(explode(extract_outlinks(col("html"))).as("raw_url"))
+        .select(url_canonicalize(col("raw_url")).as("url"))
+        .join(corpus.select("url"), Seq("url"), "left_semi")
+      batch = batch.unionByName(next).distinct()
+    }
+    val want = batch.collect().map(_.getString(0)).toSet
+    assert(fetched == want,
+      s"streaming=${fetched.size} batch=${want.size}; " +
+        s"missing=${(want -- fetched).take(3)} extra=${(fetched -- want).take(3)}")
+    assert(fetched.size > 10, "loop must actually discover beyond the seeds")
+    corpus.unpersist()
+  }
+
   test("politeness clock state: admissions spaced by crawl delay per host") {
     import spark.implicits._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingCrawl.FetchEvent](

@@ -100,20 +100,22 @@ object CrawlEngine {
     // 1a: narrow scheduling stats. groupBy(host, priority) over two thin
     // columns replaces the old full-row ranked-count job; dequeuedN is exact
     // arithmetic (Σ_h min(budget_h, Σ_p n_hp)) — ranking not needed to count.
+    // The scalar ACTION runs as a Future overlapping the fetch job: nothing
+    // in the round's dataflow needs these counts (strategy choices use the
+    // manifest-known frontierIn bound), only the end-of-round counters do.
     val hb = eligible.groupBy("host", "priority")
       .agg(count(lit(1)).as("n"), first(col("budget")).as("budget"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hbRow = hb.groupBy("host").agg(sum("n").as("tot"), first("budget").as("b"))
-      .agg(count(lit(1)),
-        coalesce(sum(least(col("tot"), col("b"))), lit(0L)),
-        coalesce(sum("tot"), lit(0L)))
-      .head()
-    val hostsN = hbRow.getLong(0)
-    val dequeuedN = hbRow.getLong(1)
-    val eligibleN = hbRow.getLong(2)
-    val blocked = frontierIn - eligibleN
-    if (cfg.verbose) System.err.println(
-      s"[round $round] sched stats: hosts=$hostsN dequeue=$dequeuedN @${(System.nanoTime() - t0) / 1e9}")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hbRowF = Future {
+      hb.groupBy("host").agg(sum("n").as("tot"), first("budget").as("b"))
+        .agg(count(lit(1)),
+          coalesce(sum(least(col("tot"), col("b"))), lit(0L)),
+          coalesce(sum("tot"), lit(0L)))
+        .head()
+    }
 
     // 1b: per-host priority cutoff. For priority band p of host h, the count
     // of strictly-higher-priority eligible entries is `higher_cum`; if
@@ -125,7 +127,9 @@ object CrawlEngine {
       .withColumn("higher_cum", coalesce(sum(col("n")).over(wCum), lit(0L)))
       .filter(col("higher_cum") < col("budget"))
       .groupBy("host").agg(min("priority").as("prio_cutoff"))
-    val cutoffs = if (hostsN <= cfg.cutoffBroadcastMax) broadcast(cutoffs0) else cutoffs0
+    // hosts ≤ frontier rows, so the manifest-known frontierIn bounds the
+    // cutoff table size without waiting for any count
+    val cutoffs = if (frontierIn <= cfg.cutoffBroadcastMax) broadcast(cutoffs0) else cutoffs0
     val withCut = eligible.join(cutoffs, Seq("host"))
 
     val ranked = rankPerHost(
@@ -152,15 +156,17 @@ object CrawlEngine {
         (col("rank_in_host") - 1).cast("long") * col("crawl_delay_ms") * lit(1000L))
 
     // J1 strategy: broadcast the dequeued side while it is small (no pages
-    // movement, but the broadcast build is driver-serial); once a round
-    // dequeues more than fetchBroadcastMax URLs, switch to a shuffled hash
-    // join — if `pages` was pre-partitioned by url (the bench does this),
-    // only the small dequeued side shuffles and the probe is fully parallel.
-    // This is the strategy that survives scale: a 10^10-URL frontier round
-    // can never broadcast its dequeued set.
+    // movement, but the broadcast build is driver-serial); above
+    // fetchBroadcastMax switch to a shuffled hash join — if `pages` was
+    // pre-partitioned by url (the bench does this), only the small dequeued
+    // side shuffles and the probe is fully parallel. This is the strategy
+    // that survives scale: a 10^10-URL frontier round can never broadcast
+    // its dequeued set. Decided from the manifest-known frontierIn bound
+    // (dequeued ⊆ frontier) so no count gates the plan; at design scale
+    // frontier ≫ threshold ⇒ shuffle, the right call there regardless.
     val dequeuedSel = dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")
     val fetchSide =
-      if (dequeuedN <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
+      if (frontierIn <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
       else dequeuedSel.hint("shuffle_hash")
     val extracted = pages
       .join(fetchSide, Seq("url"), "inner")
@@ -176,6 +182,14 @@ object CrawlEngine {
     val fetchedN = s2.getLong(0)
     val linksN = s2.getLong(1)
     if (cfg.verbose) System.err.println(s"[round $round] fetch+extract done: $fetchedN @${(System.nanoTime() - t0) / 1e9}")
+    // the stats future has long since finished (it raced the fetch job)
+    val hbRow = Await.result(hbRowF, Duration.Inf)
+    val hostsN = hbRow.getLong(0)
+    val dequeuedN = hbRow.getLong(1)
+    val eligibleN = hbRow.getLong(2)
+    val blocked = frontierIn - eligibleN
+    if (cfg.verbose) System.err.println(
+      s"[round $round] sched stats: hosts=$hostsN dequeue=$dequeuedN @${(System.nanoTime() - t0) / 1e9}")
     val missingN = dequeuedN - fetchedN
 
     val crawledDelta = extracted.select(

@@ -95,14 +95,37 @@ object CrawlDriver {
     // engine's cost-based flip-vs-classic choice for the seen check.
     var seenRows: Long = (0 to startRound).map(r =>
       catalog.manifest(r).get("tables").get("seen").get("rows").asLong()).sum
+
+    // Depth-1 commit pipeline: `pending` is the previous round, its table
+    // writes draining on pool threads while this round computes over its
+    // persisted state frames; it finalizes (manifest rename) right after
+    // this round's compute, preserving manifest order. `retired` frames are
+    // unpersisted two rounds back — the current round's background writes
+    // may still read the previous round's caches (hoststate chains one
+    // round), so frames live for two rounds after their own.
+    case class Pend(round: Int, pc: CrawlCatalog#PendingCommit,
+        out: CrawlEngine.RoundOutput, bloomAfter: Option[Array[Byte]])
+    var pending: Option[Pend] = None
+    var retired: Option[CrawlEngine.RoundOutput] = None
+    def cleanup(out: CrawlEngine.RoundOutput): Unit = {
+      out.persisted.foreach(_.unpersist())
+      out.broadcasts.foreach(_.destroy())
+    }
+
     for (r <- (startRound + 1) to cfg.rounds) {
       val tR = System.nanoTime()
-      val frontier = catalog.readFrontier(r - 1)
-      val seen = catalog.readSeenBucketed(r - 1)
-      val hostState = catalog.readHostState(r - 1)
-
-      val frontierIn = catalog.manifest(r - 1)
-        .get("tables").get("frontier").get("rows").asLong()
+      // Inputs: from the previous round's in-memory frames when pipelining
+      // (identical content to its in-flight files), else from the snapshot.
+      val (frontier, seen, hostState, frontierIn) = pending match {
+        case Some(p) =>
+          val seenHist = catalog.readSeenBucketed(p.round - 1)
+          (p.out.frontierNext, seenHist.unionByName(p.out.seenDelta),
+            p.out.hostStateNext, p.out.counters.frontier_out)
+        case None =>
+          (catalog.readFrontier(r - 1), catalog.readSeenBucketed(r - 1),
+            catalog.readHostState(r - 1),
+            catalog.manifest(r - 1).get("tables").get("frontier").get("rows").asLong())
+      }
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, bloom, frontierIn, seenRows, pc.stage)
@@ -118,13 +141,26 @@ object CrawlDriver {
       }
 
       val tC = System.nanoTime()
-      pc.finalizeCommit(bloom, params, out.counters)
-      out.persisted.foreach(_.unpersist())
-      out.broadcasts.foreach(_.destroy())
+      // Finalize the previous round (its writes drained during our compute),
+      // then retire frames two rounds back.
+      pending.foreach { p =>
+        p.pc.finalizeCommit(p.bloomAfter, params, p.out.counters)
+        retired.foreach(cleanup)
+        retired = Some(p.out)
+      }
+      if (cfg.pipelinedCommits && r < cfg.rounds) {
+        pending = Some(Pend(r, pc, out, bloom))
+      } else {
+        pc.finalizeCommit(bloom, params, out.counters)
+        pending = None
+        retired.foreach(cleanup)
+        retired = Some(out)
+      }
       if (cfg.verbose) System.err.println(
         f"[crawl] round $r compute=$tCompute%.1fs commit-drain=${(System.nanoTime() - tC) / 1e9}%.1fs " +
           s"fetched=${out.counters.fetched} frontier_out=${out.counters.frontier_out}")
     }
+    retired.foreach(cleanup)
     catalog
   }
 

@@ -57,7 +57,13 @@ object CrawlEngine {
       counters: RoundCounters,
       bloomDelta: Option[Array[Byte]],
       persisted: Seq[DataFrame],
-      broadcasts: Seq[Broadcast[_]])
+      broadcasts: Seq[Broadcast[_]],
+      /** Next-round state, persisted — lets CrawlDriver pipeline commits:
+        * round r+1 computes over these cached frames while round r's table
+        * writes (same content) drain in the background. */
+      frontierNext: DataFrame,
+      seenDelta: DataFrame,
+      hostStateNext: DataFrame)
 
   private val frontierCols =
     Seq("url", "url_hash", "host", "host_hash", "priority", "discovered_round", "warc_ts")
@@ -216,9 +222,14 @@ object CrawlEngine {
         (coalesce(col("prev_total"), lit(0L)) + coalesce(col("n"), lit(0L))).as("fetched_total"))
 
     // Stage the two frames that are final after extraction — their writes
-    // overlap the discovery anti-join below.
+    // overlap the discovery anti-join below. hostStateNext is lazily
+    // local-checkpointed: the blocks cache like persist(), but the logical
+    // plan is TRUNCATED to a leaf — without it, pipelined rounds nest each
+    // round's full plan inside the next and plan trees grow without bound
+    // (the iterative-lineage trap; snapshot reads used to truncate this).
+    val hostStateNextP = hostStateNext.localCheckpoint(false)
     stage("crawled", crawledDelta)
-    stage("hoststate", hostStateNext)
+    stage("hoststate", hostStateNextP)
 
     // ---- 4 discover: canonicalize, hash, dedup (in-batch + vs seen) ----
     val scoped = cfg.scopeHosts match {
@@ -283,18 +294,28 @@ object CrawlEngine {
       lit(round).as("discovered_round"),
       col("warc_ts"))
 
+    // Lazy local checkpoints (see hostStateNextP): cached blocks + truncated
+    // plans, materialized by whichever consumer runs first (the staged write
+    // racing the pipelined next round's first job).
     val frontierNext = residual.unionByName(newEntries)
+      .localCheckpoint(false)
+    if (cfg.verbose) System.err.println(s"[round $round] ckpt frontier @${(System.nanoTime() - t0) / 1e9}")
     val seenDelta = newEntries.select(col("url_hash"), col("url"))
       .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
+      .localCheckpoint(false)
+    if (cfg.verbose) System.err.println(s"[round $round] ckpt seen @${(System.nanoTime() - t0) / 1e9}")
     stage("frontier", frontierNext)
     stage("seen", seenDelta)
+    if (cfg.verbose) System.err.println(s"[round $round] staged @${(System.nanoTime() - t0) / 1e9}")
 
     val counters = RoundCounters(round, frontierIn, blocked, dequeuedN, fetchedN,
       missingN, linksN, candN, candN - enqueuedN, enqueuedN,
       (eligibleN - dequeuedN) + enqueuedN)
 
     RoundOutput(counters, bloomDelta,
-      Seq(eligible, hb, ranked, extracted, cand, flagged), bloomBc.toSeq)
+      Seq(eligible, hb, ranked, extracted, cand, flagged,
+        hostStateNextP, frontierNext, seenDelta),
+      bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP)
   }
 
   /** J3: mark each candidate `is_new` against the exact seen set.

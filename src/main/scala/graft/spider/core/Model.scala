@@ -97,7 +97,16 @@ case class CrawlConfig(
     /** hosts above this stop broadcasting the per-host priority cutoffs and
       * shuffle-join them instead (the exchange is then reused by the dequeue
       * window, which partitions by host anyway). */
-    cutoffBroadcastMax: Long = 1000000L)
+    cutoffBroadcastMax: Long = 1000000L,
+    /** Pipeline snapshot commits one round deep: round r+1 consumes round
+      * r's persisted in-memory state frames while round r's table writes
+      * drain in the background; round r's manifest is renamed (the atomic
+      * commit point) only after its writes land, before round r+1's. State
+      * content is identical either way (the frames are deterministic and the
+      * files are byte-equal); a killed run loses at most two rounds of work
+      * instead of one and replays to the same ordering/seen set. Off = every
+      * round reads its inputs back from the committed snapshot. */
+    pipelinedCommits: Boolean = true)
 
 /** Per-round counters → snapshot manifest (SURVEY.md §4.4). */
 case class RoundCounters(

@@ -42,7 +42,7 @@ object Diag {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count()
     val robots = PagesSynth.robotsFor(spark,
-      pages.select(expr("parse_url(url, 'HOST')").as("host")).distinct())
+      pages.select(graft.spider.expr.SpiderFunctions.url_host(col("url")).as("host")).distinct())
     val t0 = System.nanoTime()
     CrawlDriver.run(spark, pages, PagesSynth.seeds(spark, "/root/testdata/sf0.1", cfg),
       robots, cfg, java.nio.file.Files.createTempDirectory("graft-diag-").toString)

@@ -90,11 +90,28 @@ object CrawlDriver {
         (0, blob)
     }
 
-    var bloom: Option[Array[Byte]] = bloom0
-    // Cumulative seen rows (manifest metadata, no Spark job) — drives the
-    // engine's cost-based flip-vs-classic choice for the seen check.
-    var seenRows: Long = (0 to startRound).map(r =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    def mergeBloom(prev: Option[Array[Byte]], delta: Option[Array[Byte]]): Option[Array[Byte]] =
+      (prev, delta) match {
+        case (Some(p), Some(d)) => Some(Sketches.mergeShardedBlobs(p, d))
+        case (None, d @ Some(_)) => d
+        case (p, None)           => p
+      }
+
+    // Cross-round state rides a Future chain: each round's discovery
+    // aggregate (candN/enqueuedN/Bloom delta) completes during the NEXT
+    // round's fetch phase; the chain assembles exact manifest counters, the
+    // merged Bloom, and the cumulative seen-row count without any of them
+    // blocking a round boundary. Seed values are exact (manifest metadata).
+    case class Chain(bloom: Option[Array[Byte]], seenRows: Long, frontierOut: Long)
+    val seenRows0: Long = (0 to startRound).map(r =>
       catalog.manifest(r).get("tables").get("seen").get("rows").asLong()).sum
+    val frontierOut0: Long =
+      catalog.manifest(startRound).get("tables").get("frontier").get("rows").asLong()
+    var chainF: Future[Chain] = Future.successful(Chain(bloom0, seenRows0, frontierOut0))
 
     // Depth-1 commit pipeline: `pending` is the previous round, its table
     // writes draining on pool threads while this round computes over its
@@ -104,7 +121,8 @@ object CrawlDriver {
     // may still read the previous round's caches (hoststate chains one
     // round), so frames live for two rounds after their own.
     case class Pend(round: Int, pc: CrawlCatalog#PendingCommit,
-        out: CrawlEngine.RoundOutput, bloomAfter: Option[Array[Byte]])
+        out: CrawlEngine.RoundOutput,
+        roundF: Future[(RoundCounters, Option[Array[Byte]], Chain)])
     var pending: Option[Pend] = None
     var retired: Option[CrawlEngine.RoundOutput] = None
     def cleanup(out: CrawlEngine.RoundOutput): Unit = {
@@ -116,49 +134,59 @@ object CrawlDriver {
       val tR = System.nanoTime()
       // Inputs: from the previous round's in-memory frames when pipelining
       // (identical content to its in-flight files), else from the snapshot.
-      val (frontier, seen, hostState, frontierIn) = pending match {
+      val (frontier, seen, hostState, frontierInBound) = pending match {
         case Some(p) =>
           val seenHist = catalog.readSeenBucketed(p.round - 1)
           (p.out.frontierNext, seenHist.unionByName(p.out.seenDelta),
-            p.out.hostStateNext, p.out.counters.frontier_out)
+            p.out.hostStateNext, p.out.frontierOutBound)
         case None =>
           (catalog.readFrontier(r - 1), catalog.readSeenBucketed(r - 1),
-            catalog.readHostState(r - 1),
-            catalog.manifest(r - 1).get("tables").get("frontier").get("rows").asLong())
+            catalog.readHostState(r - 1), frontierOut0)
       }
+      val prevF = chainF
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
-        hostState, r, cfg, bloom, frontierIn, seenRows, pc.stage)
-      seenRows += out.counters.enqueued
+        hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
+        frontierInBound, pc.stage)
       val tCompute = (System.nanoTime() - tR) / 1e9
 
-      // Incremental sketch maintenance: bloom(r) = bloom(r-1) ⊎ bloom(delta)
-      // per shard (the delta was built inside the round's discovery job).
-      bloom = (bloom, out.bloomDelta) match {
-        case (Some(prev), Some(delta)) => Some(Sketches.mergeShardedBlobs(prev, delta))
-        case (None, d @ Some(_))       => d
-        case (prev, None)              => prev
+      // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta
+      // per shard; frontier_in(r) = frontier_out(r-1) from the chain.
+      val roundF: Future[(RoundCounters, Option[Array[Byte]], Chain)] = for {
+        prev <- prevF
+        (candN, enqueuedN, delta) <- out.rawStatsF
+      } yield {
+        val merged = mergeBloom(prev.bloom, delta)
+        val frontierOut = (out.eligibleN - out.dequeuedN) + enqueuedN
+        val counters = RoundCounters(r, prev.frontierOut,
+          prev.frontierOut - out.eligibleN, out.dequeuedN, out.fetchedN,
+          out.dequeuedN - out.fetchedN, out.linksN, candN, candN - enqueuedN,
+          enqueuedN, frontierOut)
+        (counters, merged, Chain(merged, prev.seenRows + enqueuedN, frontierOut))
       }
+      chainF = roundF.map(_._3)
 
       val tC = System.nanoTime()
       // Finalize the previous round (its writes drained during our compute),
       // then retire frames two rounds back.
       pending.foreach { p =>
-        p.pc.finalizeCommit(p.bloomAfter, params, p.out.counters)
+        val (counters, bloomAfter, _) = Await.result(p.roundF, Duration.Inf)
+        p.pc.finalizeCommit(bloomAfter, params, counters)
         retired.foreach(cleanup)
         retired = Some(p.out)
       }
       if (cfg.pipelinedCommits && r < cfg.rounds) {
-        pending = Some(Pend(r, pc, out, bloom))
+        pending = Some(Pend(r, pc, out, roundF))
       } else {
-        pc.finalizeCommit(bloom, params, out.counters)
+        val (counters, bloomAfter, _) = Await.result(roundF, Duration.Inf)
+        pc.finalizeCommit(bloomAfter, params, counters)
         pending = None
         retired.foreach(cleanup)
         retired = Some(out)
       }
       if (cfg.verbose) System.err.println(
         f"[crawl] round $r compute=$tCompute%.1fs commit-drain=${(System.nanoTime() - tC) / 1e9}%.1fs " +
-          s"fetched=${out.counters.fetched} frontier_out=${out.counters.frontier_out}")
+          s"fetched=${out.fetchedN}")
     }
     retired.foreach(cleanup)
     catalog

@@ -54,8 +54,17 @@ import graft.spider.sketch.Sketches
 object CrawlEngine {
 
   case class RoundOutput(
-      counters: RoundCounters,
-      bloomDelta: Option[Array[Byte]],
+      round: Int,
+      /** Synchronous scheduling/fetch facts, exact at return time. */
+      eligibleN: Long,
+      dequeuedN: Long,
+      fetchedN: Long,
+      linksN: Long,
+      /** The discovery aggregate — (candN, enqueuedN, bloomDelta) — runs as
+        * a Future: nothing inside THIS round needs its results (they feed
+        * the manifest counters and the NEXT round's Bloom), so the job
+        * overlaps the next round's fetch phase. CrawlDriver chains it. */
+      rawStatsF: scala.concurrent.Future[(Long, Long, Option[Array[Byte]])],
       persisted: Seq[DataFrame],
       broadcasts: Seq[Broadcast[_]],
       /** Next-round state, persisted — lets CrawlDriver pipeline commits:
@@ -63,7 +72,13 @@ object CrawlEngine {
         * writes (same content) drain in the background. */
       frontierNext: DataFrame,
       seenDelta: DataFrame,
-      hostStateNext: DataFrame)
+      hostStateNext: DataFrame) {
+    /** Upper bound on |frontierNext|, available synchronously — drives the
+      * next round's broadcast-vs-shuffle strategy choices (the exact value
+      * arrives with rawStatsF; a bound can only flip a choice toward the
+      * shuffle path, the one that is correct at design scale anyway). */
+    def frontierOutBound: Long = (eligibleN - dequeuedN) + linksN
+  }
 
   private val frontierCols =
     Seq("url", "url_hash", "host", "host_hash", "priority", "discovered_round", "warc_ts")
@@ -82,9 +97,14 @@ object CrawlEngine {
       hostStatePrev: DataFrame,
       round: Int,
       cfg: CrawlConfig,
-      bloomBytes: Option[Array[Byte]],
-      frontierIn: Long,
-      seenRows: Long,
+      /** (merged Bloom through round-1, exact seen rows through round-1) —
+        * completes when the PREVIOUS round's discovery aggregate lands;
+        * awaited only at this round's discovery stage, so the previous
+        * aggregate overlaps this round's dequeue + fetch phases. */
+      prevStats: scala.concurrent.Future[(Option[Array[Byte]], Long)],
+      /** |frontier| upper bound (exact when read from a manifest) — strategy
+        * decisions only; exact counters are assembled by CrawlDriver. */
+      frontierInBound: Long,
       stage: (String, DataFrame) => Unit): RoundOutput = {
 
     val t0 = System.nanoTime()
@@ -92,7 +112,6 @@ object CrawlEngine {
     if (cfg.verbose) System.err.println(s"[round $round] start")
 
     // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
-    // frontierIn comes from the previous snapshot manifest (no extra count).
     val gated = frontier
       .join(broadcast(robots), Seq("host"), "left_outer")
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
@@ -133,9 +152,9 @@ object CrawlEngine {
       .withColumn("higher_cum", coalesce(sum(col("n")).over(wCum), lit(0L)))
       .filter(col("higher_cum") < col("budget"))
       .groupBy("host").agg(min("priority").as("prio_cutoff"))
-    // hosts ≤ frontier rows, so the manifest-known frontierIn bounds the
-    // cutoff table size without waiting for any count
-    val cutoffs = if (frontierIn <= cfg.cutoffBroadcastMax) broadcast(cutoffs0) else cutoffs0
+    // hosts ≤ frontier rows, so the frontier bound caps the cutoff table
+    // size without waiting for any count
+    val cutoffs = if (frontierInBound <= cfg.cutoffBroadcastMax) broadcast(cutoffs0) else cutoffs0
     val withCut = eligible.join(cutoffs, Seq("host"))
 
     val ranked = rankPerHost(
@@ -172,7 +191,7 @@ object CrawlEngine {
     // frontier ≫ threshold ⇒ shuffle, the right call there regardless.
     val dequeuedSel = dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")
     val fetchSide =
-      if (frontierIn <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
+      if (frontierInBound <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
       else dequeuedSel.hint("shuffle_hash")
     val extracted = pages
       .join(fetchSide, Seq("url"), "inner")
@@ -193,10 +212,8 @@ object CrawlEngine {
     val hostsN = hbRow.getLong(0)
     val dequeuedN = hbRow.getLong(1)
     val eligibleN = hbRow.getLong(2)
-    val blocked = frontierIn - eligibleN
     if (cfg.verbose) System.err.println(
       s"[round $round] sched stats: hosts=$hostsN dequeue=$dequeuedN @${(System.nanoTime() - t0) / 1e9}")
-    val missingN = dequeuedN - fetchedN
 
     val crawledDelta = extracted.select(
       col("url"), col("url_hash"), col("host"), lit(round).as("round"),
@@ -250,6 +267,13 @@ object CrawlEngine {
       .withColumn("url_hash", xxhash64(col("url")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // The previous round's discovery aggregate lands here at the latest —
+    // its merged Bloom gates THIS round's prefilter (exact semantics: a
+    // stale filter could mark a just-enqueued URL "definitely new").
+    val (bloomBytes, seenRows) = Await.result(prevStats, Duration.Inf)
+    if (cfg.verbose) System.err.println(
+      s"[round $round] prev discovery stats ready @${(System.nanoTime() - t0) / 1e9}")
+
     // Sharded Bloom arrives via SparkContext.broadcast — tasks pull the
     // blocks once per executor; the expression tree stays tiny at any
     // filter size (round 1 shipped the filter as a literal: task binaries
@@ -271,6 +295,9 @@ object CrawlEngine {
 
     // ONE job: candidate count + enqueued count + the round's Bloom delta
     // (sharded, over the new urls only — nulls are skipped by the agg).
+    // Launched as a Future: its results feed the manifest counters and the
+    // NEXT round's Bloom, neither of which gates this round's dataflow, so
+    // the aggregate overlaps the next round's dequeue + fetch phases.
     val perShard = math.max(1024L, cfg.bloomExpectedItems / cfg.bloomShards)
     val baseAggs = Seq(
       count(lit(1)),
@@ -279,13 +306,16 @@ object CrawlEngine {
       Seq(Sketches.shardedBloomAgg(when(col("is_new"), col("url_hash")),
         cfg.bloomShards, perShard, cfg.bloomFpp))
     else Nil)
-    val s3 = flagged.agg(aggs.head, aggs.tail: _*).head()
-    val candN = s3.getLong(0)
-    val enqueuedN = if (s3.isNullAt(1)) 0L else s3.getLong(1)
-    val bloomDelta =
-      if (cfg.bloomPrefilter && enqueuedN > 0) Some(s3.getAs[Array[Byte]](2)) else None
-    if (cfg.verbose) System.err.println(
-      s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
+    val rawStatsF = Future {
+      val s3 = flagged.agg(aggs.head, aggs.tail: _*).head()
+      val candN = s3.getLong(0)
+      val enqueuedN = if (s3.isNullAt(1)) 0L else s3.getLong(1)
+      val bloomDelta =
+        if (cfg.bloomPrefilter && enqueuedN > 0) Some(s3.getAs[Array[Byte]](2)) else None
+      if (cfg.verbose) System.err.println(
+        s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
+      (candN, enqueuedN, bloomDelta)
+    }
 
     val newEntries = flagged.filter(col("is_new")).select(
       col("url"), col("url_hash"), col("host"),
@@ -308,11 +338,7 @@ object CrawlEngine {
     stage("seen", seenDelta)
     if (cfg.verbose) System.err.println(s"[round $round] staged @${(System.nanoTime() - t0) / 1e9}")
 
-    val counters = RoundCounters(round, frontierIn, blocked, dequeuedN, fetchedN,
-      missingN, linksN, candN, candN - enqueuedN, enqueuedN,
-      (eligibleN - dequeuedN) + enqueuedN)
-
-    RoundOutput(counters, bloomDelta,
+    RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, rawStatsF,
       Seq(eligible, hb, ranked, extracted, cand, flagged,
         hostStateNextP, frontierNext, seenDelta),
       bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP)

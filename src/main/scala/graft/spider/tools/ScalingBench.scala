@@ -1,5 +1,7 @@
 package graft.spider.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -63,6 +65,27 @@ object ScalingBench {
         sys.env.getOrElse("GRAFT_STATE_DIR", System.getProperty("java.io.tmpdir")))
       java.nio.file.Files.createDirectories(stateBase)
       val state = java.nio.file.Files.createTempDirectory(stateBase, "graft-scale-").toString
+
+      // Concurrent-pair barrier (GRAFT_BARRIER=<path>,<nParties>): after
+      // warmup + corpus synthesis, wait until every party arrives, so the
+      // TIMED regions of both JVMs overlap and sample the same machine
+      // phase (the sandbox's speed swings 2-3x between minutes; see
+      // BENCH/BASELINE.md "environment findings").
+      sys.env.get("GRAFT_BARRIER").foreach { spec =>
+        val Array(path, n) = spec.split(",")
+        val me = java.nio.file.Paths.get(s"$path.$cpus")
+        java.nio.file.Files.write(me, Array[Byte]())
+        def arrived: Long = {
+          val dir = me.getParent
+          val prefix = me.getFileName.toString.takeWhile(_ != '.')
+          val s = java.nio.file.Files.list(dir)
+          try s.iterator().asScala.count(_.getFileName.toString.startsWith(prefix))
+          finally s.close()
+        }
+        System.err.println(s"[scaling] at barrier ($arrived/${n.toInt})")
+        while (arrived < n.toInt) Thread.sleep(200)
+        System.err.println(s"[scaling] barrier released")
+      }
 
       val t0 = System.nanoTime()
       val catalog = CrawlDriver.run(spark, pages, seeds, robots, cfg, state)

@@ -23,6 +23,11 @@ mkdir -p "$OUT"
 # tmpfs shuffle state never push the box into the OOM killer.
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-45g}
 
+# Barrier: both JVMs finish warmup + corpus synthesis first, then start
+# their TIMED crawls together (aligned timed regions = same machine phase).
+BARRIER_DIR=$(mktemp -d /tmp/graft-barrier-XXXX)
+export GRAFT_BARRIER="$BARRIER_DIR/pair$P,2"
+
 echo "=== cpair $P start $(date +%T) rep=$REP rounds=$R noise=$NOISE seeds=$SEEDS ===" | tee -a "$OUT/cpairs.log"
 tools/run_bench.sh graft.spider.tools.ScalingBench "$SF" "$REP" "$R" 1 "$NOISE" "$SEEDS" \
   > "$OUT/cpair${P}_c1.json" 2> "$OUT/cpair${P}_c1.err" &
@@ -33,6 +38,7 @@ PID4=$!
 RC=0
 wait $PID1 || RC=$?
 wait $PID4 || RC=$?
+rm -rf "$BARRIER_DIR"
 echo "=== cpair $P done $(date +%T) rc=$RC ===" | tee -a "$OUT/cpairs.log"
 
 python3 - "$OUT" "$P" <<'EOF'

@@ -16,6 +16,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt * 2).toString)
+      // plan-description strings for listener events are built eagerly per
+      // action and cost driver seconds on nested cached plans — truncate
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -175,6 +175,12 @@ object CrawlEngine {
           .unionByName(withCut.filter(col("priority") < col("prio_cutoff"))
             .select(frontierCols.map(col): _*))
 
+    // Residual is final as soon as the dequeue plans exist — checkpoint it
+    // NOW on a pool thread so its plan compilation (the window/rank subtree,
+    // the most expensive plan of the round to compile) overlaps the fetch
+    // phase below instead of sitting on the round's tail.
+    val residualCkptF = Future { residual.localCheckpoint(false) }
+
     // ---- 2/3 fetch-simulation + extraction ----
     val fetchTs = timestamp_micros(
       lit(Corpus.FetchBaseMicros + round.toLong * cfg.roundLenMs * 1000L) +
@@ -293,11 +299,34 @@ object CrawlEngine {
     val flagged = flagAgainstSeen(cand, seenBucketed, bloomBc, cfg, flip)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val newEntries = flagged.filter(col("is_new")).select(
+      col("url"), col("url_hash"), col("host"),
+      xxhash64(col("host")).as("host_hash"),
+      lit(Corpus.priorityAtRound(round)).as("priority"),
+      lit(round).as("discovered_round"),
+      col("warc_ts"))
+
+    // Lazy local checkpoints (see hostStateNextP): cached blocks + truncated
+    // plans, materialized by whichever consumer runs first (the staged write
+    // racing the pipelined next round's first job). frontierNext is a UNION
+    // OF TWO LEAVES — the residual checkpoint compiled during the fetch
+    // phase and the newEntries checkpoint — so the only plan compiled on
+    // the round's tail is the (cheap) discovery-side subtree; the union
+    // itself stays un-checkpointed (depth-1 over leaves, lineage bounded).
+    val newCkpt = newEntries.localCheckpoint(false)
+    if (cfg.verbose) System.err.println(s"[round $round] ckpt new @${(System.nanoTime() - t0) / 1e9}")
+    val frontierNext = Await.result(residualCkptF, Duration.Inf).unionByName(newCkpt)
+    val seenDelta = newCkpt.select(col("url_hash"), col("url"))
+      .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
+    stage("frontier", frontierNext)
+    stage("seen", seenDelta)
+    if (cfg.verbose) System.err.println(s"[round $round] staged @${(System.nanoTime() - t0) / 1e9}")
+
     // ONE job: candidate count + enqueued count + the round's Bloom delta
     // (sharded, over the new urls only — nulls are skipped by the agg).
-    // Launched as a Future: its results feed the manifest counters and the
-    // NEXT round's Bloom, neither of which gates this round's dataflow, so
-    // the aggregate overlaps the next round's dequeue + fetch phases.
+    // Launched LAST, as a Future: its results feed the manifest counters and
+    // the NEXT round's Bloom, neither of which gates this round's dataflow,
+    // so the aggregate overlaps the next round's dequeue + fetch phases.
     val perShard = math.max(1024L, cfg.bloomExpectedItems / cfg.bloomShards)
     val baseAggs = Seq(
       count(lit(1)),
@@ -316,27 +345,6 @@ object CrawlEngine {
         s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
       (candN, enqueuedN, bloomDelta)
     }
-
-    val newEntries = flagged.filter(col("is_new")).select(
-      col("url"), col("url_hash"), col("host"),
-      xxhash64(col("host")).as("host_hash"),
-      lit(Corpus.priorityAtRound(round)).as("priority"),
-      lit(round).as("discovered_round"),
-      col("warc_ts"))
-
-    // Lazy local checkpoints (see hostStateNextP): cached blocks + truncated
-    // plans, materialized by whichever consumer runs first (the staged write
-    // racing the pipelined next round's first job).
-    val frontierNext = residual.unionByName(newEntries)
-      .localCheckpoint(false)
-    if (cfg.verbose) System.err.println(s"[round $round] ckpt frontier @${(System.nanoTime() - t0) / 1e9}")
-    val seenDelta = newEntries.select(col("url_hash"), col("url"))
-      .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
-      .localCheckpoint(false)
-    if (cfg.verbose) System.err.println(s"[round $round] ckpt seen @${(System.nanoTime() - t0) / 1e9}")
-    stage("frontier", frontierNext)
-    stage("seen", seenDelta)
-    if (cfg.verbose) System.err.println(s"[round $round] staged @${(System.nanoTime() - t0) / 1e9}")
 
     RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, rawStatsF,
       Seq(eligible, hb, ranked, extracted, cand, flagged,

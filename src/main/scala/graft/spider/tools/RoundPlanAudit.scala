@@ -87,6 +87,24 @@ object RoundPlanAudit {
     sb.append("## dequeue (cutoff-pruned rank window)\n\n```\n")
     sb.append(fmt(ranked.filter(col("rank_in_host") <= col("budget")))).append("\n```\n\n")
 
+    // ---- fetch join, at-scale path (pages pre-partitioned, shuffled-hash)
+    // audit: ShuffledHashJoin (NOT SortMergeJoin — no sort of the corpus),
+    // NO Exchange on the pages side (its cached partitioning satisfies the
+    // join), one Exchange of the small dequeued side only.
+    val pages = PagesSynth.pages(spark, sfDir)
+      .repartition(8, col("url"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val dequeuedStandIn = catalog.readFrontier(2)
+      .select(col("url"), col("url_hash"), col("host"))
+      .withColumn("rank_in_host", lit(1)).withColumn("crawl_delay_ms", lit(1000L))
+    val fetchPlan = pages
+      .join(dequeuedStandIn.hint("shuffle_hash"), Seq("url"), "inner")
+      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html")))
+      .select(col("url"), col("page.text"))
+    sb.append("## fetch join (shuffled-hash, pages pre-partitioned by url)\n\n```\n")
+    sb.append(fmt(fetchPlan)).append("\n```\n\n")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")
     spark.stop()

@@ -34,6 +34,11 @@ object ScalingBench {
       // small crawl-state shuffles (a fixed large P anti-scales: 64 tiny
       // write/shuffle tasks × 32 threads contend on the local FS/scheduler)
       .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      // Listener events carry a physical-plan description built EAGERLY per
+      // action; with nested InMemoryRelation trees that string is MBs and
+      // costs driver seconds per job. Truncate it — nothing consumes it
+      // here (UI off, no event log).
+      .config("spark.sql.maxPlanStringLength", "8192")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -44,13 +49,23 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      // discarded warmup (JIT + codegen caches)
-      CrawlDriver.crawlFromSf(spark, sfDir, CrawlConfig(rounds = 1),
+      // discarded warmup (JIT + codegen caches) — same join strategy as the
+      // timed crawl (fetchBroadcastMax=0) so the shuffled-hash fetch path
+      // is compiled before the timed region, not inside round 1
+      CrawlDriver.crawlFromSf(spark, sfDir,
+        CrawlConfig(rounds = 1, fetchBroadcastMax = 0L),
         java.nio.file.Files.createTempDirectory("graft-warm-").toString)
 
-      val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true)
-      // pre-partition the corpus by url: large-round fetch joins then only
-      // shuffle the (small) dequeued side — the at-scale layout (bucketing)
+      // fetchBroadcastMax=0: always the shuffled-hash fetch join — the only
+      // strategy that exists at a 10^10-URL frontier (a broadcast build is
+      // driver-serial; the bench measures the at-scale path at every round).
+      val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true,
+        fetchBroadcastMax = 0L)
+      // Pre-partition the corpus by url: large-round fetch joins then only
+      // shuffle the (small) dequeued side — the at-scale layout (bucketing).
+      // NOTE: persist (columnar cache, partitioning visible to Catalyst),
+      // NOT localCheckpoint — a LogicalRDD leaf loses the hash partitioning
+      // here and every round then re-exchanges the 17 GB corpus (measured).
       val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
           noiseLen = noiseLen)
         .repartition(cpus * 2, col("url"))

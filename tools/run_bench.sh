@@ -21,8 +21,14 @@ export GRAFT_LOCAL_DIR="${GRAFT_LOCAL_DIR:-/dev/shm/graft-local}"
 export GRAFT_STATE_DIR="${GRAFT_STATE_DIR:-/dev/shm/graft-state}"
 mkdir -p "$GRAFT_LOCAL_DIR" "$GRAFT_STATE_DIR"
 
+# -Xms=-Xmx + AlwaysPreTouch: commit the whole heap at JVM start (BEFORE the
+# timed region). Without it the JVM grows into the heap mid-run and gVisor
+# demand-paging shows up as 30-300 s "environmental stalls" concentrated in
+# the first memory-heavy round (diagnosed round 2: the classic r3 stall).
 exec java $ADD_OPENS \
+  -Xms"${SPARK_DRIVER_MEM:-100g}" \
   -Xmx"${SPARK_DRIVER_MEM:-100g}" \
+  -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Djava.io.tmpdir="$GRAFT_STATE_DIR" \

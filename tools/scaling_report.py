@@ -15,11 +15,19 @@ import statistics
 import sys
 
 bench_dir = sys.argv[1] if len(sys.argv) > 1 else "BENCH/r2"
+# optional 2nd arg: filename prefix filter, e.g. "cpair" for the concurrent
+# barrier-synced protocol, "pair" for the sequential one (default: all).
+prefix = sys.argv[2] if len(sys.argv) > 2 else ""
 ROUND = re.compile(
     r"\[crawl\] round (\d+) compute=([0-9.]+)s commit-drain=([0-9.]+)s fetched=(\d+)")
 
 runs = {}  # (pair, cpus) -> {"total": s, "rounds": {idx: secs}, "fetched": n}
-for f in sorted(glob.glob(f"{bench_dir}/pair*_c*.json")):
+for f in sorted(glob.glob(f"{bench_dir}/*pair*_c*.json")):
+    base = f.split("/")[-1]
+    if prefix and not base.startswith(prefix):
+        continue
+    if not prefix and not base.startswith("pair"):
+        continue  # default: the sequential-protocol files only
     m = re.search(r"pair([A-Z]+)_c(\d+)\.json$", f)
     pair, cpus = m.group(1), int(m.group(2))
     try:

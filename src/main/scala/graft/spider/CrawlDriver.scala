@@ -10,17 +10,19 @@ import graft.spider.state.{CrawlCatalog, SketchParams}
 /** Multi-round crawl driver (SURVEY.md §3.2): opens-or-resumes the IceLite
   * catalog, then runs rounds r0+1..R, committing a snapshot per round.
   *
-  * Every round's state is read back from the committed snapshot before the
-  * next round — this truncates Catalyst lineage (no unbounded iterative
-  * plans) AND makes kill/resume trivial: a killed run restarts from the last
-  * committed manifest and, because every ordering the contract depends on is
-  * a pure function of (state, round), replays to the same crawl ordering and
-  * URL-seen set as an uninterrupted run.
-  *
-  * Commits are staged through [[CrawlCatalog.PendingCommit]]: the engine
-  * launches each table write as soon as its frame is final, overlapping
-  * state I/O with the rest of the round's compute; the manifest rename in
-  * `finalizeCommit` stays the single atomic commit point.
+  * Snapshot commits run a DEPTH-1 PIPELINE (default `pipelinedCommits=true`):
+  * round r+1 consumes round r's in-memory state frames — `localCheckpoint`
+  * leaves, which cache the blocks AND truncate Catalyst lineage (no
+  * unbounded iterative plans) — while round r's table writes drain on pool
+  * threads; round r's manifest rename (the single atomic commit point)
+  * happens after its writes land and before round r+1's. With
+  * `pipelinedCommits=false`, or on the first round after a resume, state is
+  * instead read back from the committed snapshot (lineage truncation then
+  * comes from the files). Either way kill/resume replays identically: a
+  * killed run restarts from the last committed manifest and, because every
+  * ordering the contract depends on is a pure function of (state, round),
+  * reaches the same crawl ordering and URL-seen set as an uninterrupted run
+  * (pipelining only bounds the loss at ≤2 rounds of work instead of 1).
   */
 object CrawlDriver {
 
@@ -127,6 +129,12 @@ object CrawlDriver {
     var retired: Option[CrawlEngine.RoundOutput] = None
     def cleanup(out: CrawlEngine.RoundOutput): Unit = {
       out.persisted.foreach(_.unpersist())
+      // localCheckpoint-backed frames are NOT in the CacheManager, so the
+      // Dataset.unpersist above is a no-op for them — free their blocks
+      // explicitly instead of waiting out the ContextCleaner's GC pace.
+      // (May log a few benign "non-existent accumulator" task-end messages:
+      // dropped metric updates for already-finished overlapping jobs.)
+      out.ckptRdds.foreach(_.unpersist(blocking = false))
       out.broadcasts.foreach(_.destroy())
     }
 
@@ -140,14 +148,26 @@ object CrawlDriver {
           (p.out.frontierNext, seenHist.unionByName(p.out.seenDelta),
             p.out.hostStateNext, p.out.frontierOutBound)
         case None =>
+          // Exact |frontier| from round r-1's committed manifest — NOT the
+          // startRound value, which goes stale after the first un-pipelined
+          // round and could under-report the bound (an underestimate can
+          // flip a strategy toward broadcast of a frontier-scale side).
+          val bound = catalog.manifest(r - 1)
+            .get("tables").get("frontier").get("rows").asLong()
           (catalog.readFrontier(r - 1), catalog.readSeenBucketed(r - 1),
-            catalog.readHostState(r - 1), frontierOut0)
+            catalog.readHostState(r - 1), bound)
       }
       val prevF = chainF
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
         frontierInBound, pc.stage)
+      // Periodic seen compaction rides this round's commit: full history
+      // through r = this round's input (through r-1) ∪ this round's delta,
+      // all already persisted/checkpointed frames, so the rewrite drains on
+      // a pool thread alongside the delta writes.
+      if (cfg.compactSeenEvery > 0 && r % cfg.compactSeenEvery == 0)
+        pc.stageSeenBase(seen.unionByName(out.seenDelta))
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta

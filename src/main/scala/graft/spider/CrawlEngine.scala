@@ -66,6 +66,11 @@ object CrawlEngine {
         * overlaps the next round's fetch phase. CrawlDriver chains it. */
       rawStatsF: scala.concurrent.Future[(Long, Long, Option[Array[Byte]])],
       persisted: Seq[DataFrame],
+      /** Block-backed RDDs of the round's `localCheckpoint` leaves —
+        * `Dataset.unpersist()` is a no-op on these (not in the CacheManager),
+        * so CrawlDriver.cleanup unpersists them directly instead of leaving
+        * the blocks to the ContextCleaner's GC pace. */
+      ckptRdds: Seq[org.apache.spark.rdd.RDD[_]],
       broadcasts: Seq[Broadcast[_]],
       /** Next-round state, persisted — lets CrawlDriver pipeline commits:
         * round r+1 computes over these cached frames while round r's table
@@ -315,7 +320,8 @@ object CrawlEngine {
     // itself stays un-checkpointed (depth-1 over leaves, lineage bounded).
     val newCkpt = newEntries.localCheckpoint(false)
     if (cfg.verbose) System.err.println(s"[round $round] ckpt new @${(System.nanoTime() - t0) / 1e9}")
-    val frontierNext = Await.result(residualCkptF, Duration.Inf).unionByName(newCkpt)
+    val residualCkpt = Await.result(residualCkptF, Duration.Inf)
+    val frontierNext = residualCkpt.unionByName(newCkpt)
     val seenDelta = newCkpt.select(col("url_hash"), col("url"))
       .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
     stage("frontier", frontierNext)
@@ -346,10 +352,12 @@ object CrawlEngine {
       (candN, enqueuedN, bloomDelta)
     }
 
+    val ckptRdds = Seq(residualCkpt, newCkpt, hostStateNextP)
+      .flatMap(org.apache.spark.sql.GraftColumnBridge.checkpointRdd)
     RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, rawStatsF,
       Seq(eligible, hb, ranked, extracted, cand, flagged,
         hostStateNextP, frontierNext, seenDelta),
-      bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP)
+      ckptRdds, bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP)
   }
 
   /** J3: mark each candidate `is_new` against the exact seen set.

@@ -98,6 +98,14 @@ case class CrawlConfig(
       * shuffle-join them instead (the exchange is then reused by the dequeue
       * window, which partitions by host anyway). */
     cutoffBroadcastMax: Long = 1000000L,
+    /** Compact the seen history every K rounds (0 = off): round r ≡ 0 mod K
+      * additionally commits `seen_base` = the full bucketed seen set through
+      * r, rewritten as one file per bucket, so the membership probe reads
+      * O(1 + rounds mod K) file sets instead of one per round — at hundreds
+      * of rounds the probe plan's branch count and the per-bucket small-file
+      * count stay bounded. Pure layout: results are invariant (equivalence
+      * test pins compaction on ≡ off). */
+    compactSeenEvery: Int = 8,
     /** Pipeline snapshot commits one round deep: round r+1 consumes round
       * r's persisted in-memory state frames while round r's table writes
       * drain in the background; round r's manifest is renamed (the atomic

@@ -145,6 +145,28 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     private val verbose = sys.env.contains("GRAFT_COMMIT_VERBOSE")
     private val staged =
       scala.collection.concurrent.TrieMap[String, Future[(Long, Seq[(Int, Long)])]]()
+    @volatile private var seenBase: Option[Future[(Long, Seq[(Int, Long)])]] = None
+
+    /** Stage a COMPACTION of the seen history: `df` must be the full
+      * bucketed seen set through THIS commit's round (history ∪ this round's
+      * delta). It rewrites to one consolidated per-bucket file set under
+      * `seen_base/data/r<round>`, recorded in the manifest as `seen_base`
+      * (lineage preserved: per-bucket row counts, per-round deltas still
+      * listed in their own manifests). Readers then union base + deltas
+      * after it — O(rounds since last compaction) dirs instead of O(rounds),
+      * so neither the probe plan's branch count nor the per-bucket file
+      * count grows with crawl length. Atomicity is the usual IceLite story:
+      * a kill mid-compaction leaves a torn data dir with no manifest entry —
+      * invisible; resume re-reads the last committed manifests. */
+    def stageSeenBase(df: DataFrame): Unit = {
+      seenBase = Some(Future {
+        val t = System.nanoTime()
+        val r = writeTable("seen_base", round, df)
+        if (verbose) System.err.println(
+          f"[commit] seen_base ${(System.nanoTime() - t) / 1e9}%.1fs")
+        r
+      })
+    }
 
     def stage(table: String, df: DataFrame): Unit = {
       // Capture the session's active state: the write runs on a pool thread.
@@ -174,6 +196,18 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
         t.put("path", dataDir(name, round))
         t.put("rows", stats._1)
         val arr = t.putArray("partitions")
+        stats._2.foreach { case (pid, rows) =>
+          val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
+        }
+      }
+
+      seenBase.foreach { f =>
+        val stats = Await.result(f, Duration.Inf)
+        val b = node.putObject("seen_base")
+        b.put("path", dataDir("seen_base", round))
+        b.put("through", round)
+        b.put("rows", stats._1)
+        val arr = b.putArray("partitions")
         stats._2.foreach { case (pid, rows) =>
           val p = arr.addObject(); p.put("pid", pid); p.put("rows", rows)
         }
@@ -259,15 +293,28 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   def readHostState(round: Int): DataFrame =
     spark.read.parquet(manifest(round).get("tables").get("hoststate").get("path").asText())
 
-  /** Seen set = union of committed per-round deltas 0..round, WITH the
-    * `seen_bucket` partition column — the engine's membership probe filters
-    * on it (bucket pruning). Each round dir is read under its own root so
-    * partition discovery resolves per delta. */
+  /** Seen set through `round`, WITH the `seen_bucket` partition column —
+    * the engine's membership probe filters on it (bucket pruning). Reads
+    * the latest compacted base at or before `round` (if any) plus the
+    * per-round deltas after it, so the union (and the probe plan's branch
+    * count) is O(rounds since the last compaction), not O(rounds). Each
+    * dir is read under its own root so partition discovery resolves per
+    * file set. */
   def readSeenBucketed(round: Int): DataFrame = {
+    val base = (round to 0 by -1).view
+      .map(r => manifest(r))
+      .collectFirst { case m if m.has("seen_base") => m.get("seen_base") }
+    val (baseDf, from) = base match {
+      case Some(b) =>
+        val df = if (b.get("rows").asLong() == 0L) None
+          else Some(spark.read.parquet(b.get("path").asText()))
+        (df, b.get("through").asInt() + 1)
+      case None => (None, 0)
+    }
     // A drained round may commit an empty delta: a partitioned write with 0
     // rows leaves no bucket dirs at all, so schema inference would fail —
     // skip those deltas via the manifest row count (no FS probe needed).
-    val dfs = (0 to round).flatMap { r =>
+    val dfs = baseDf.toSeq ++ (from to round).flatMap { r =>
       val t = manifest(r).get("tables").get("seen")
       if (t.get("rows").asLong() == 0L) None
       else Some(spark.read.parquet(t.get("path").asText()))

@@ -98,7 +98,14 @@ object ScalingBench {
           finally s.close()
         }
         System.err.println(s"[scaling] at barrier ($arrived/${n.toInt})")
-        while (arrived < n.toInt) Thread.sleep(200)
+        // Timeout: a partner JVM that dies before the barrier (e.g. OOM in
+        // warmup) must abort the pair, not hang the survivor forever.
+        val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000 * 1000
+        while (arrived < n.toInt) {
+          require(System.nanoTime() < deadline,
+            s"barrier timeout: only $arrived/${n.toInt} parties after 15 min")
+          Thread.sleep(200)
+        }
         System.err.println(s"[scaling] barrier released")
       }
 

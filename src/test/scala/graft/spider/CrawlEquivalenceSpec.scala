@@ -150,6 +150,42 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     (1 to 3).foreach(r => assert(resumed.countersOf(r) == fresh.countersOf(r)))
   }
 
+  test("seen compaction ≡ no compaction (pure layout; manifests carry the base)") {
+    val compacted = engineCrawl(CrawlConfig(rounds = 5, compactSeenEvery = 2))
+    val plain = engineCrawl(CrawlConfig(rounds = 5, compactSeenEvery = 0))
+    assert(crawledTuples(compacted, 5) == crawledTuples(plain, 5))
+    assert(seenSet(compacted, 5) == seenSet(plain, 5))
+    assert(frontierSet(compacted, 5) == frontierSet(plain, 5))
+    (1 to 5).foreach(r => assert(compacted.countersOf(r) == plain.countersOf(r)))
+    // compaction rounds recorded in their manifests; base rows = full history
+    assert(compacted.manifest(2).has("seen_base"))
+    assert(compacted.manifest(4).has("seen_base"))
+    assert(!compacted.manifest(3).has("seen_base"))
+    val baseRows = compacted.manifest(4).get("seen_base").get("rows").asLong()
+    val deltaRows = (0 to 4).map(r =>
+      compacted.manifest(r).get("tables").get("seen").get("rows").asLong()).sum
+    assert(baseRows == deltaRows)
+    // the probe input after compaction = base + deltas since, nothing older
+    assert(seenSet(compacted, 4).size.toLong == baseRows)
+  }
+
+  test("kill/resume across a compaction boundary; torn compaction dir is invisible") {
+    val cfg = (r: Int) => CrawlConfig(rounds = r, compactSeenEvery = 2)
+    val dirA = tmpState()
+    engineCrawl(cfg(3), dirA) // "killed" after round 3 (base committed at r2)
+    // Simulate a compaction torn mid-write by the kill: a data dir with no
+    // manifest entry must be invisible to the resumed run.
+    val torn = java.nio.file.Paths.get(dirA, "seen_base", "data", "r00004", "seen_bucket=0")
+    Files.createDirectories(torn)
+    Files.write(torn.resolve("part-00000-torn.parquet"), Array[Byte](1, 2, 3))
+    val resumed = engineCrawl(cfg(5), dirA) // resumes at 4; recompacts at r4
+    val fresh = engineCrawl(cfg(5))
+    assert(crawledTuples(resumed, 5) == crawledTuples(fresh, 5))
+    assert(seenSet(resumed, 5) == seenSet(fresh, 5))
+    assert(frontierSet(resumed, 5) == frontierSet(fresh, 5))
+    (1 to 5).foreach(r => assert(resumed.countersOf(r) == fresh.countersOf(r)))
+  }
+
   test("determinism across shuffle-partition counts (stand-in for cluster sizes)") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -43,6 +43,13 @@ object CrawlDriver {
 
     val catalog = new CrawlCatalog(stateDir, spark)
     val params = sketchParamsOf(cfg)
+    if (cfg.seenDsv2) {
+      // storage-partitioned join over the DSv2 seen reader: group by the
+      // reported bucket partitioning and allow shuffling the (small)
+      // candidate side into it
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    }
     val robotsDf = robots.toDF().persist()
     robotsDf.count() // materialize once; broadcast-joined every round
 
@@ -142,10 +149,14 @@ object CrawlDriver {
       val tR = System.nanoTime()
       // Inputs: from the previous round's in-memory frames when pipelining
       // (identical content to its in-flight files), else from the snapshot.
+      def seenInput(committedRound: Int, extra: Option[DataFrame]) =
+        CrawlEngine.SeenInput(
+          catalog.readSeenBucketed(committedRound),
+          if (cfg.seenDsv2) Some(catalog.readSeenV2(committedRound, cfg.seenBuckets)) else None,
+          extra)
       val (frontier, seen, hostState, frontierInBound) = pending match {
         case Some(p) =>
-          val seenHist = catalog.readSeenBucketed(p.round - 1)
-          (p.out.frontierNext, seenHist.unionByName(p.out.seenDelta),
+          (p.out.frontierNext, seenInput(p.round - 1, Some(p.out.seenDelta)),
             p.out.hostStateNext, p.out.frontierOutBound)
         case None =>
           // Exact |frontier| from round r-1's committed manifest — NOT the
@@ -154,7 +165,7 @@ object CrawlDriver {
           // flip a strategy toward broadcast of a frontier-scale side).
           val bound = catalog.manifest(r - 1)
             .get("tables").get("frontier").get("rows").asLong()
-          (catalog.readFrontier(r - 1), catalog.readSeenBucketed(r - 1),
+          (catalog.readFrontier(r - 1), seenInput(r - 1, None),
             catalog.readHostState(r - 1), bound)
       }
       val prevF = chainF
@@ -167,7 +178,7 @@ object CrawlDriver {
       // all already persisted/checkpointed frames, so the rewrite drains on
       // a pool thread alongside the delta writes.
       if (cfg.compactSeenEvery > 0 && r % cfg.compactSeenEvery == 0)
-        pc.stageSeenBase(seen.unionByName(out.seenDelta))
+        pc.stageSeenBase(seen.scanAll.unionByName(out.seenDelta))
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta

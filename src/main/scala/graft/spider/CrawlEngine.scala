@@ -85,6 +85,30 @@ object CrawlEngine {
     def frontierOutBound: Long = (eligibleN - dequeuedN) + linksN
   }
 
+  /** The round's seen-set input, split by representation:
+    *   - `committed`: the committed history as vectorized parquet scans (the
+    *     flip path's fastest scan-and-semi-join input);
+    *   - `committedV2`: the same files through the DSv2 bucket-reporting
+    *     reader ([[graft.spider.source.SeenSource]]) when `cfg.seenDsv2` —
+    *     the classic fallback joins THIS side storage-partitioned, no
+    *     exchange of the history;
+    *   - `extra`: the previous round's not-yet-committed delta when commits
+    *     are pipelined (an in-memory checkpoint frame — file-based readers
+    *     cannot see it, so the classic path joins it separately; it is
+    *     round-sized, so that join is cheap at any scale). */
+  case class SeenInput(
+      committed: DataFrame,
+      committedV2: Option[DataFrame],
+      extra: Option[DataFrame]) {
+    /** Everything, vectorized-parquet + in-memory — the flip path's input. */
+    def scanAll: DataFrame = extra.foldLeft(committed)(_.unionByName(_))
+  }
+
+  object SeenInput {
+    /** Plain single-frame input (tests/tools). */
+    def plain(df: DataFrame): SeenInput = SeenInput(df, None, None)
+  }
+
   private val frontierCols =
     Seq("url", "url_hash", "host", "host_hash", "priority", "discovered_round", "warc_ts")
 
@@ -98,7 +122,7 @@ object CrawlEngine {
       pages: DataFrame,
       robots: DataFrame,
       frontier: DataFrame,
-      seenBucketed: DataFrame,
+      seen: SeenInput,
       hostStatePrev: DataFrame,
       round: Int,
       cfg: CrawlConfig,
@@ -301,7 +325,7 @@ object CrawlEngine {
     // fully-distributed classic join (no driver-serial broadcast step).
     val flip = linksN <= cfg.seenFlipMax &&
       seenRows.toDouble >= cfg.seenFlipRatio * math.max(1L, linksN)
-    val flagged = flagAgainstSeen(cand, seenBucketed, bloomBc, cfg, flip)
+    val flagged = flagAgainstSeen(cand, seen, bloomBc, cfg, flip)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val newEntries = flagged.filter(col("is_new")).select(
@@ -370,20 +394,23 @@ object CrawlEngine {
     * set (bloom-absent candidates are provably unseen and skip the probe
     * entirely — a Bloom filter has no false negatives).
     *
-    * Fallback (giant candidate rounds): classic shuffled hash join. With a
-    * real Iceberg catalog both sides are bucket-partitioned by url_hash and
-    * this becomes a storage-partitioned join; IceLite cannot report
-    * read-side partitioning to Catalyst, so the fallback pays the exchange.
+    * Fallback (giant candidate rounds): join on (seen_bucket, url_hash).
+    * With the DSv2 committed side ([[graft.spider.source.SeenSource]]) the
+    * join is STORAGE-PARTITIONED — the history's reported bucket grouping
+    * satisfies the join's distribution, only the round-sized candidate side
+    * shuffles (into the bucket grouping), and the pipelined in-flight delta
+    * (also round-sized) joins separately. Without DSv2 the fallback pays
+    * the classic full-history exchange.
     */
   private[spider] def flagAgainstSeen(
       cand: DataFrame,
-      seenBucketed: DataFrame,
+      seen: SeenInput,
       bloomBc: Option[Broadcast[Array[Array[Byte]]]],
       cfg: CrawlConfig,
       flip: Boolean): DataFrame = {
-    val seenKeys = seenBucketed.select("url_hash", "seen_bucket")
     val flagged0 =
       if (flip) {
+        val seenKeys = seen.scanAll.select("url_hash", "seen_bucket")
         val probe0 = bloomBc match {
           case Some(bc) => cand.filter(bloom_sharded_might_contain(bc, col("url_hash")))
           case None     => cand
@@ -395,14 +422,38 @@ object CrawlEngine {
           .select(col("url_hash")).withColumn("seen_hit", lit(true))
         cand.join(broadcast(hits), Seq("url_hash"), "left_outer")
       } else {
-        val seenFlag = seenKeys.select(col("url_hash")).withColumn("seen_hit", lit(true))
+        val committedKeys = seen.committedV2.getOrElse(seen.committed)
+          .select("seen_bucket", "url_hash")
+        def classicJoin(c: DataFrame): DataFrame = {
+          // shuffle_hash on the candidate side: build the round-sized hash
+          // table, STREAM the history — a sort-merge join would sort the
+          // whole seen history every round
+          val candB = c.withColumn("seen_bucket",
+            seenBucketCol(col("url_hash"), cfg.seenBuckets))
+            .hint("shuffle_hash")
+          val withC = candB.join(
+            committedKeys.withColumn("hit_c", lit(true)),
+            Seq("seen_bucket", "url_hash"), "left_outer")
+          val withAll = seen.extra match {
+            case Some(d) =>
+              // same (bucket, hash) keys so the exchange introduced for the
+              // committed join is reusable; the delta is round-sized.
+              withC.join(
+                d.select("seen_bucket", "url_hash").withColumn("hit_d", lit(true)),
+                Seq("seen_bucket", "url_hash"), "left_outer")
+                .withColumn("seen_hit", coalesce(col("hit_c"), col("hit_d")))
+                .drop("hit_c", "hit_d")
+            case None => withC.withColumnRenamed("hit_c", "seen_hit")
+          }
+          withAll.drop("seen_bucket")
+        }
         bloomBc match {
           case Some(bc) =>
             val mc = bloom_sharded_might_contain(bc, col("url_hash"))
             cand.filter(!mc).withColumn("seen_hit", lit(null).cast("boolean"))
-              .unionByName(cand.filter(mc).join(seenFlag, Seq("url_hash"), "left_outer"))
+              .unionByName(classicJoin(cand.filter(mc)))
           case None =>
-            cand.join(seenFlag, Seq("url_hash"), "left_outer")
+            classicJoin(cand)
         }
       }
     flagged0.withColumn("is_new", col("seen_hit").isNull).drop("seen_hit")

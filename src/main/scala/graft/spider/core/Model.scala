@@ -98,6 +98,13 @@ case class CrawlConfig(
       * shuffle-join them instead (the exchange is then reused by the dequeue
       * window, which partitions by host anyway). */
     cutoffBroadcastMax: Long = 1000000L,
+    /** Serve the committed seen history to the CLASSIC membership join
+      * through the DSv2 bucket-partitioning-reporting reader
+      * ([[graft.spider.source.SeenSource]]), making that join
+      * storage-partitioned (no exchange of the history even above
+      * `seenFlipMax`). The flip path keeps the vectorized parquet scan
+      * either way. */
+    seenDsv2: Boolean = true,
     /** Compact the seen history every K rounds (0 = off): round r ≡ 0 mod K
       * additionally commits `seen_base` = the full bucketed seen set through
       * r, rewritten as one file per bucket, so the membership probe reads

@@ -155,19 +155,24 @@ class SeenPartitionReader(bucket: Int, files: Seq[String], columns: Array[String
   extends PartitionReader[InternalRow] {
 
   private val dataCols = columns.filter(_ != "seen_bucket")
-  private val conf = {
-    val c = new Configuration()
+
+  /** Projection built from the file's own footer schema (field repetition
+    * must match the file exactly — parquet rejects an optional/required
+    * mismatch), pruned to the requested data columns. */
+  private def confFor(path: Path, base: Configuration): Configuration = {
+    val c = new Configuration(base)
     if (dataCols.nonEmpty) {
-      val fields = dataCols.map {
-        case "url_hash" => "  optional int64 url_hash;"
-        case "url"      => "  optional binary url (UTF8);"
-        case other      => throw new IllegalArgumentException(s"unknown seen column $other")
-      }
-      c.set(ReadSupport.PARQUET_READ_SCHEMA, s"message seen {\n${fields.mkString("\n")}\n}")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, base)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
+      val proj = new org.apache.parquet.schema.MessageType("seen",
+        dataCols.map(n => (fileSchema: org.apache.parquet.schema.GroupType).getType(n)): _*)
+      c.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
     }
     c
   }
 
+  private val baseConf = new Configuration()
   private val fileIter = files.iterator
   private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
   private var current: org.apache.parquet.example.data.Group = _
@@ -176,8 +181,9 @@ class SeenPartitionReader(bucket: Int, files: Seq[String], columns: Array[String
     while (true) {
       if (reader == null) {
         if (!fileIter.hasNext) return false
-        reader = ParquetReader.builder(new GroupReadSupport(), new Path(fileIter.next()))
-          .withConf(conf).build()
+        val path = new Path(fileIter.next())
+        reader = ParquetReader.builder(new GroupReadSupport(), path)
+          .withConf(confFor(path, baseConf)).build()
       }
       current = reader.read()
       if (current != null) return true

@@ -301,24 +301,10 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     * dir is read under its own root so partition discovery resolves per
     * file set. */
   def readSeenBucketed(round: Int): DataFrame = {
-    val base = (round to 0 by -1).view
-      .map(r => manifest(r))
-      .collectFirst { case m if m.has("seen_base") => m.get("seen_base") }
-    val (baseDf, from) = base match {
-      case Some(b) =>
-        val df = if (b.get("rows").asLong() == 0L) None
-          else Some(spark.read.parquet(b.get("path").asText()))
-        (df, b.get("through").asInt() + 1)
-      case None => (None, 0)
-    }
     // A drained round may commit an empty delta: a partitioned write with 0
     // rows leaves no bucket dirs at all, so schema inference would fail —
-    // skip those deltas via the manifest row count (no FS probe needed).
-    val dfs = baseDf.toSeq ++ (from to round).flatMap { r =>
-      val t = manifest(r).get("tables").get("seen")
-      if (t.get("rows").asLong() == 0L) None
-      else Some(spark.read.parquet(t.get("path").asText()))
-    }
+    // seenPathsThrough skips those via the manifest row counts.
+    val dfs = seenPathsThrough(round).map(spark.read.parquet(_))
     if (dfs.nonEmpty) dfs.reduce(_.unionByName(_))
     else {
       import org.apache.spark.sql.types._
@@ -330,6 +316,31 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
 
   /** Seen set without the storage-layout column (public/table shape). */
   def readSeen(round: Int): DataFrame = readSeenBucketed(round).drop("seen_bucket")
+
+  /** The committed seen file sets through `round` (latest base + deltas
+    * after it, empties skipped) — inputs for the DSv2 bucket-reporting
+    * reader, which needs paths rather than frames. */
+  def seenPathsThrough(round: Int): Seq[String] = {
+    val base = (round to 0 by -1).view
+      .map(r => manifest(r))
+      .collectFirst { case m if m.has("seen_base") => m.get("seen_base") }
+    val (basePath, from) = base match {
+      case Some(b) =>
+        (if (b.get("rows").asLong() == 0L) None else Some(b.get("path").asText()),
+          b.get("through").asInt() + 1)
+      case None => (None, 0)
+    }
+    basePath.toSeq ++ (from to round).flatMap { r =>
+      val t = manifest(r).get("tables").get("seen")
+      if (t.get("rows").asLong() == 0L) None else Some(t.get("path").asText())
+    }
+  }
+
+  /** Committed seen history as the bucket-partitioning-reporting DSv2 table
+    * (see [[graft.spider.source.SeenSource]]) — the classic membership
+    * join's exchange-free input. */
+  def readSeenV2(round: Int, buckets: Int): DataFrame =
+    graft.spider.source.SeenSource.load(spark, seenPathsThrough(round), buckets)
 
   /** Crawled output accumulated through `round` (round 0 commits none). */
   def readCrawled(round: Int): DataFrame = {

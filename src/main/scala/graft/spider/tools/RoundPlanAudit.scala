@@ -56,9 +56,22 @@ object RoundPlanAudit {
       .select(col("url"), col("url_hash"), col("host"), col("warc_ts"))
     val bloomBc = catalog.readBloom(2).map(b =>
       spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
-    val flagged = CrawlEngine.flagAgainstSeen(cand, seen, bloomBc, cfg, flip = true)
+    val flagged = CrawlEngine.flagAgainstSeen(cand,
+      CrawlEngine.SeenInput.plain(seen), bloomBc, cfg, flip = true)
     sb.append("## seen probe (flipped, bloom-sharded prefilter)\n\n```\n")
     sb.append(fmt(flagged)).append("\n```\n\n")
+
+    // ---- classic fallback via the DSv2 bucket-reporting reader ----
+    // audit: storage-partitioned join — BatchScan(icelite seen) feeds the
+    // join with NO Exchange above it; the only exchange in the plan belongs
+    // to the candidate side (shuffled into the bucket grouping).
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val seenV2 = catalog.readSeenV2(2, cfg.seenBuckets)
+    val flaggedClassic = CrawlEngine.flagAgainstSeen(cand,
+      CrawlEngine.SeenInput(seen, Some(seenV2), None), bloomBc = None, cfg, flip = false)
+    sb.append("## seen probe (classic fallback, DSv2 storage-partitioned join)\n\n```\n")
+    sb.append(fmt(flaggedClassic)).append("\n```\n\n")
 
     // ---- cutoff-pruned dequeue over the committed frontier ----
     val frontier = catalog.readFrontier(2)

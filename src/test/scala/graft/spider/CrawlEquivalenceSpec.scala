@@ -130,13 +130,22 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
   test("flipped seen probe ≡ classic shuffled join (strategy never changes semantics)") {
     val oracleRes = CrawlOracle.run(oraclePages,
       CrawlOracle.seeds(docs, CrawlConfig(rounds = 3)), CrawlConfig(rounds = 3))
-    // ratio 0 forces the flip every round; MaxValue forces classic
+    // ratio 0 forces the flip every round; MaxValue forces classic — which
+    // runs storage-partitioned over the DSv2 seen reader (seenDsv2 default)
+    // or as the plain shuffled join (seenDsv2 = false); all must agree.
     val flip = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = 0.0))
-    val classic = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = Double.MaxValue))
+    val classicV2 = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = Double.MaxValue))
+    val classicPq = engineCrawl(CrawlConfig(rounds = 3, seenFlipRatio = Double.MaxValue,
+      seenDsv2 = false))
     assert(crawledTuples(flip, 3) == oracleTuples(oracleRes))
-    assert(crawledTuples(classic, 3) == oracleTuples(oracleRes))
+    assert(crawledTuples(classicV2, 3) == oracleTuples(oracleRes))
+    assert(crawledTuples(classicPq, 3) == oracleTuples(oracleRes))
     assert(seenSet(flip, 3) == oracleRes.seen)
-    assert(seenSet(classic, 3) == oracleRes.seen)
+    assert(seenSet(classicV2, 3) == oracleRes.seen)
+    assert(seenSet(classicPq, 3) == oracleRes.seen)
+    (1 to 3).foreach { r =>
+      assert(classicV2.countersOf(r) == oracleRes.counters(r - 1), s"v2 round $r counters")
+    }
   }
 
   test("kill/resume: rounds 0-1 then resume 2-3 ≡ uninterrupted 0-3") {

@@ -51,7 +51,9 @@ object CrawlDriver {
       spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     }
     val robotsDf = robots.toDF().persist()
-    robotsDf.count() // materialize once; broadcast-joined every round
+    // materialize once; the exact count picks broadcast vs host-shuffle for
+    // the per-round robots gate
+    val robotsRows = robotsDf.count()
 
     // (startRound, sketch blob) — resume validates the storage layout and
     // rebuilds the Bloom when the stored params are incompatible with cfg
@@ -172,7 +174,7 @@ object CrawlDriver {
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
-        frontierInBound, pc.stage)
+        frontierInBound, pc.stage, robotsRows)
       // Periodic seen compaction rides this round's commit: full history
       // through r = this round's input (through r-1) ∪ this round's delta,
       // all already persisted/checkpointed frames, so the rewrite drains on

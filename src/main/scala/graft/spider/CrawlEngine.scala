@@ -134,15 +134,24 @@ object CrawlEngine {
       /** |frontier| upper bound (exact when read from a manifest) — strategy
         * decisions only; exact counters are assembled by CrawlDriver. */
       frontierInBound: Long,
-      stage: (String, DataFrame) => Unit): RoundOutput = {
+      stage: (String, DataFrame) => Unit,
+      /** exact robots row count (driver materializes the table once) —
+        * drives the broadcast-vs-host-shuffle robots gate strategy. */
+      robotsRows: Long = 0L): RoundOutput = {
 
     val t0 = System.nanoTime()
     val defaultDelayMs = 1000L
     if (cfg.verbose) System.err.println(s"[round $round] start")
 
     // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
+    // Robots side: broadcast while small; above the threshold shuffle-join
+    // by host — the exchange this puts under the gate is the host
+    // partitioning the dequeue window requires anyway, so the round still
+    // pays one full-row host exchange (plan-audited).
+    val robotsSide =
+      if (robotsRows <= cfg.robotsBroadcastMax) broadcast(robots) else robots
     val gated = frontier
-      .join(broadcast(robots), Seq("host"), "left_outer")
+      .join(robotsSide, Seq("host"), "left_outer")
       .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
       .withColumn("allowed",
         coalesce(robots_allows(col("url"), col("disallow_prefixes")), lit(true)))

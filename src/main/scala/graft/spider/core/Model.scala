@@ -94,6 +94,14 @@ case class CrawlConfig(
       * the history; when the two sides are comparable the fully-distributed
       * classic join is both faster and scales better). */
     seenFlipRatio: Double = 4.0,
+    /** robots-rule rows above this stop broadcasting the robots table into
+      * the frontier gate and shuffle-join it by host instead — at a
+      * 10^10-URL frontier the robots table is 10^7-10^8 host rows (with
+      * prefix lists), no longer broadcastable. The host exchange this
+      * introduces is the SAME partitioning the dequeue window needs, so
+      * Catalyst reuses it: the round still pays exactly one full-row host
+      * exchange. */
+    robotsBroadcastMax: Long = 5000000L,
     /** hosts above this stop broadcasting the per-host priority cutoffs and
       * shuffle-join them instead (the exchange is then reused by the dequeue
       * window, which partitions by host anyway). */

@@ -100,6 +100,30 @@ object RoundPlanAudit {
     sb.append("## dequeue (cutoff-pruned rank window)\n\n```\n")
     sb.append(fmt(ranked.filter(col("rank_in_host") <= col("budget")))).append("\n```\n\n")
 
+    // ---- dequeue with the PARTITIONED robots gate (robots too big to
+    // broadcast at design scale) ----
+    // audit: the robots shuffle-join introduces hashpartitioning(host),
+    // which is exactly the rank window's required distribution — the plan
+    // must NOT contain a second full-frontier host exchange above the join.
+    // (auto-broadcast off: at sf0.001 AQE would re-broadcast the tiny
+    // robots table and hide the at-scale plan under audit)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val gatedPart = frontier
+      .join(robots, Seq("host"), "left_outer")
+      .withColumn("crawl_delay_ms", coalesce(col("crawl_delay_ms"), lit(1000L)))
+      .withColumn("allowed", coalesce(
+        graft.spider.expr.SpiderFunctions.robots_allows(
+          col("url"), col("disallow_prefixes")), lit(true)))
+    val eligiblePart = gatedPart.filter(col("allowed"))
+      .withColumn("budget", greatest(lit(1L),
+        floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
+    val rankedPart = CrawlEngine.rankPerHost(
+      eligiblePart.join(broadcast(cutoffs), Seq("host"))
+        .filter(col("priority") >= col("prio_cutoff")).drop("prio_cutoff"), cfg)
+    sb.append("## dequeue (partitioned robots gate — host exchange reused by the window)\n\n```\n")
+    sb.append(fmt(rankedPart.filter(col("rank_in_host") <= col("budget")))).append("\n```\n\n")
+
     // ---- fetch join, at-scale path (pages pre-partitioned, shuffled-hash)
     // audit: ShuffledHashJoin (NOT SortMergeJoin — no sort of the corpus),
     // NO Exchange on the pages side (its cached partitioning satisfies the

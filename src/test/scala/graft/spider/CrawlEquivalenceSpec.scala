@@ -159,6 +159,18 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     (1 to 3).foreach(r => assert(resumed.countersOf(r) == fresh.countersOf(r)))
   }
 
+  test("partitioned robots gate ≡ broadcast gate (strategy fork is exact)") {
+    val oracleRes = CrawlOracle.run(oraclePages,
+      CrawlOracle.seeds(docs, CrawlConfig(rounds = 3)), CrawlConfig(rounds = 3))
+    // threshold 0 forces the host-shuffle robots join every round
+    val part = engineCrawl(CrawlConfig(rounds = 3, robotsBroadcastMax = 0L))
+    assert(crawledTuples(part, 3) == oracleTuples(oracleRes))
+    assert(seenSet(part, 3) == oracleRes.seen)
+    (1 to 3).foreach { r =>
+      assert(part.countersOf(r) == oracleRes.counters(r - 1), s"round $r counters")
+    }
+  }
+
   test("seen compaction ≡ no compaction (pure layout; manifests carry the base)") {
     val compacted = engineCrawl(CrawlConfig(rounds = 5, compactSeenEvery = 2))
     val plain = engineCrawl(CrawlConfig(rounds = 5, compactSeenEvery = 0))

@@ -131,6 +131,39 @@ case class CrawlConfig(
       * round reads its inputs back from the committed snapshot. */
     pipelinedCommits: Boolean = true)
 
+object CrawlConfig {
+
+  /** Next power of two ≥ `x`, clamped to [lo, hi] (both powers of two). */
+  private[core] def pow2Clamp(x: Long, lo: Int, hi: Int): Int = {
+    var p = lo.toLong
+    while (p < x && p < hi) p <<= 1
+    math.min(p, hi.toLong).toInt
+  }
+
+  /** Derive the layout constants from the expected total URL volume instead
+    * of hand-picking them (VERDICT r2 task #6). Targets:
+    *   - `seenBuckets`: ~64k seen rows per bucket per round-set (a bucket's
+    *     key column stays a few MB — executor-sized probe units), capped at
+    *     4096 (the 10^10-URL regime; more buckets than that only multiplies
+    *     files);
+    *   - `bloomShards`: each shard ≤ ~64 MB serialized at the configured
+    *     fpp (bits/item = ln(1/fpp)/ln²2), so shard transport and per-task
+    *     probe paging stay bounded — 10^10 items at fpp 0.03 (~9.1 GB of
+    *     filter) lands on 256 shards.
+    * The sandbox default (2^20 items) reproduces the hand-picked 16/16, so
+    * behavior at test scale is unchanged. Layout stays fixed per catalog —
+    * resume still validates it against the snapshot manifest. */
+  def autoSized(expectedItems: Long, base: CrawlConfig = CrawlConfig()): CrawlConfig = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    val buckets = pow2Clamp(expectedItems / 65536L, 16, 4096)
+    val bitsPerItem = math.log(1.0 / base.bloomFpp) / (math.log(2.0) * math.log(2.0))
+    val filterBytes = (expectedItems * bitsPerItem / 8.0).toLong
+    val shards = pow2Clamp(filterBytes / (64L << 20), 16, 4096)
+    base.copy(seenBuckets = buckets, bloomShards = shards,
+      bloomExpectedItems = expectedItems)
+  }
+}
+
 /** Per-round counters → snapshot manifest (SURVEY.md §4.4). */
 case class RoundCounters(
     round: Int,

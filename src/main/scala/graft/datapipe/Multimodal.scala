@@ -9,39 +9,74 @@ import graft.spider.core.Hash64
   * metadata, plus the decode / feature-extract plumbing a training-data
   * pipeline needs.
   *
-  * The actual media decode is STUBBED (no image/audio codecs ship in this
-  * container): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything AROUND the stub is real and load-bearing —
-  * the schema, the binary column handling, the batched per-partition
-  * execution shape (mirroring an Arrow-batched UDF: rows are processed in
-  * fixed-size batches so a real decoder could amortize model/codec setup
-  * per batch), and the partitioning.
+  * Decode is REAL for the uncompressed container formats a pure JVM can
+  * parse — BMP (24-bit) and WAV (PCM16), see [[MediaCodec]] — with decoded
+  * dimensions / sample counts surfaced in the output and features computed
+  * from actual pixels / samples. Compressed formats stay behind the
+  * deterministic `decodeStub` (their codecs do not ship in this
+  * container), clearly tagged `codec = "opaque"`. Everything around the
+  * dispatch is the same load-bearing scaffold either way — the schema, the
+  * binary column handling, the batched per-partition execution shape
+  * (mirroring an Arrow-batched UDF: rows are processed in fixed-size
+  * batches so a heavyweight decoder could amortize codec/model setup per
+  * batch), and the partitioning.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, duration_ms: Long, mime: String)
 
+  /** `codec` ∈ bmp|wav|opaque; decoded_w/decoded_h (images) and n_samples
+    * (audio) are -1 where not applicable. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
-      feature: Array[Float])
+      feature: Array[Float], codec: String, decoded_w: Int, decoded_h: Int,
+      n_samples: Long)
 
   /** Deterministic synthetic media table derived from documents: binary
-    * payload + typed metadata columns. */
+    * payload + typed metadata columns. Image rows carry REAL 24-bit BMP
+    * bytes and audio rows REAL PCM16 WAV bytes (synthesized via
+    * [[MediaCodec]], pixel/sample content a pure function of doc_id), so
+    * the decode path downstream is exercised end-to-end; video rows keep an
+    * opaque payload (stub path). */
   def synthMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(xxhash64(col("doc_id").cast("string")), lit(3L)) + 1).cast("int")).as("kind"),
-      // payload: repeated text bytes, truncated — stands in for encoded media
-      substring(encode(repeat(col("text"), 3), "UTF-8"), 1, 4096).as("bytes"),
-      (pmod(xxhash64(concat(col("doc_id").cast("string"), lit("w"))), lit(1024L)) + 256)
-        .cast("int").as("width"),
-      (pmod(xxhash64(concat(col("doc_id").cast("string"), lit("h"))), lit(768L)) + 256)
-        .cast("int").as("height"),
-      (pmod(xxhash64(concat(col("doc_id").cast("string"), lit("d"))), lit(60000L)))
-        .as("duration_ms"),
-      lit("application/octet-stream").as("mime"))
+      .select(col("doc_id"), substring(col("text"), 1, 512).as("text"))
+      .as[(Long, String)]
+    docs.map { case (id, text) =>
+      val h = Hash64.string(s"media-$id")
+      val kind = Hash64.pmod(h, 3L) match {
+        case 0L => "image"
+        case 1L => "audio"
+        case _  => "video"
+      }
+      kind match {
+        case "image" =>
+          val w = (Hash64.pmod(Hash64.string(s"$id-w"), 24L) + 8).toInt
+          val hh = (Hash64.pmod(Hash64.string(s"$id-h"), 24L) + 8).toInt
+          val bytes = MediaCodec.encodeBmp(w, hh, (x, y) => {
+            val p = Hash64.string(s"$id:$x:$y")
+            (((p >>> 16) & 0xff).toInt, ((p >>> 8) & 0xff).toInt, (p & 0xff).toInt)
+          })
+          MediaRow(id, kind, bytes, w, hh, -1L, "image/bmp")
+        case "audio" =>
+          val rate = 8000
+          val n = (Hash64.pmod(Hash64.string(s"$id-n"), 4000L) + 1000).toInt
+          val samples = Array.tabulate(n) { i =>
+            (Hash64.string(s"$id~$i") & 0xffffL).toShort
+          }
+          val bytes = MediaCodec.encodeWav(rate, 1, samples)
+          MediaRow(id, kind, bytes, -1, -1, n * 1000L / rate, "audio/wav")
+        case _ =>
+          // opaque payload — stands in for compressed media (stub path)
+          val bytes = (text * 3).getBytes("UTF-8").take(4096)
+          MediaRow(id, kind, bytes,
+            (Hash64.pmod(Hash64.string(s"$id-w"), 1024L) + 256).toInt,
+            (Hash64.pmod(Hash64.string(s"$id-h"), 768L) + 256).toInt,
+            Hash64.pmod(Hash64.string(s"$id-d"), 60000L),
+            "application/octet-stream")
+      }
+    }.toDF()
   }
 
   /** STUB decoder: a real implementation would decode the image/audio bytes
@@ -61,9 +96,62 @@ object Multimodal {
     out
   }
 
+  /** Image features from decoded pixels: per-channel means (R,G,B) then a
+    * luminance histogram over the remaining dims. */
+  private[datapipe] def bmpFeatures(img: MediaCodec.Bmp, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = img.width * img.height
+    var sb = 0L; var sg = 0L; var sr = 0L
+    val bins = math.max(1, dim - 3)
+    var i = 0
+    while (i < n) {
+      val b = img.pixels(i * 3) & 0xff
+      val g = img.pixels(i * 3 + 1) & 0xff
+      val r = img.pixels(i * 3 + 2) & 0xff
+      sb += b; sg += g; sr += r
+      val lum = (r * 299 + g * 587 + b * 114) / 1000 // 0..255
+      if (dim > 3) out(3 + lum * bins / 256) += 1f
+      i += 1
+    }
+    if (dim > 0) out(0) = sr.toFloat / n / 255f
+    if (dim > 1) out(1) = sg.toFloat / n / 255f
+    if (dim > 2) out(2) = sb.toFloat / n / 255f
+    var j = 3
+    while (j < dim) { out(j) /= n; j += 1 }
+    out
+  }
+
+  /** Audio features from decoded samples: RMS, zero-crossing rate, then a
+    * mean-|amplitude| envelope over the remaining dims. */
+  private[datapipe] def wavFeatures(wav: MediaCodec.Wav, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val s = wav.samples
+    if (s.isEmpty) return out
+    var sq = 0.0; var zc = 0
+    var i = 0
+    while (i < s.length) {
+      sq += s(i).toDouble * s(i)
+      if (i > 0 && ((s(i) >= 0) != (s(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    if (dim > 0) out(0) = (math.sqrt(sq / s.length) / 32768.0).toFloat
+    if (dim > 1) out(1) = zc.toFloat / s.length
+    val env = math.max(1, dim - 2)
+    i = 0
+    while (i < s.length) {
+      out(2 + i * env / s.length) += math.abs(s(i).toInt).toFloat
+      i += 1
+    }
+    var j = 2
+    while (j < dim) { out(j) /= (s.length.toFloat / env) * 32768f; j += 1 }
+    out
+  }
+
   /** Batched feature extraction over the binary column. Runs per-partition
     * in fixed-size batches — the execution shape of `mapInPandas`/Arrow UDFs
-    * — so a real decoder can hold codec/model state per batch. */
+    * — so a heavyweight decoder can hold codec/model state per batch. BMP
+    * and WAV payloads are decoded for real ([[MediaCodec]]); anything else
+    * takes the deterministic stub path tagged `opaque`. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -71,7 +159,19 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (decoder/model init)
         batch.iterator.map { r =>
-          MediaFeatures(r.media_id, r.kind, r.bytes.length, decodeStub(r.bytes, dim))
+          MediaCodec.sniff(r.bytes) match {
+            case MediaCodec.IsBmp =>
+              val img = MediaCodec.decodeBmp(r.bytes)
+              MediaFeatures(r.media_id, r.kind, r.bytes.length,
+                bmpFeatures(img, dim), "bmp", img.width, img.height, -1L)
+            case MediaCodec.IsWav =>
+              val wav = MediaCodec.decodeWav(r.bytes)
+              MediaFeatures(r.media_id, r.kind, r.bytes.length,
+                wavFeatures(wav, dim), "wav", -1, -1, wav.samples.length.toLong)
+            case MediaCodec.Opaque =>
+              MediaFeatures(r.media_id, r.kind, r.bytes.length,
+                decodeStub(r.bytes, dim), "opaque", -1, -1, -1L)
+          }
         }
       }
     }

@@ -241,6 +241,10 @@ object CrawlDriver {
       else PagesSynth.robots(spark, sfDir)
     val catalog = run(spark, pages, PagesSynth.seeds(spark, sfDir, cfg),
       robots, cfg, stateDir)
+    // the crawled table is committed files — the corpus cache can go
+    // (matters when a caller runs several crawls in one session, e.g. the
+    // bench's fetch-join A/B)
+    pages.unpersist()
     catalog.readCrawled(cfg.rounds)
   }
 }

@@ -304,7 +304,17 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     // A drained round may commit an empty delta: a partitioned write with 0
     // rows leaves no bucket dirs at all, so schema inference would fail —
     // seenPathsThrough skips those via the manifest row counts.
-    val dfs = seenPathsThrough(round).map(spark.read.parquet(_))
+    // Each spark.read.parquet costs a driver-side FS listing + partition
+    // discovery; fan them out (they sit on the round critical path when the
+    // next round's input is assembled).
+    val dfs = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(seenPathsThrough(round))(p => Future(spark.read.parquet(p))),
+        Duration.Inf)
+    }
     if (dfs.nonEmpty) dfs.reduce(_.unionByName(_))
     else {
       import org.apache.spark.sql.types._

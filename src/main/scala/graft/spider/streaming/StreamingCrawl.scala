@@ -177,4 +177,194 @@ object StreamingCrawl {
     }
     spark.read.schema(pageSchema).parquet(fetchedDir)
   }
+
+  // ------------------------------------------------------------------
+  // FUSED loop (VERDICT r2 task #10): frontier + politeness in ONE
+  // stateful streaming query. The per-host GroupState carries the batch
+  // engine's whole per-host crawl state — politeness clock, pending
+  // frontier queue, and the host's URL-seen set — so each trigger admits
+  // exactly the politeness-budget top-k in the batch dequeue order and
+  // retains the residual, replicating batch rounds wave-for-wave (asserted
+  // in StreamingCrawlSpec: same (wave, host, rank, url) tuples as
+  // CrawlDriver rounds under the same seeds + uniform budget).
+  //
+  // State-size note for real scale: pending+seen grow with the host's
+  // frontier/history (exactly the state the batch engine keeps in IceLite
+  // tables). A production continuous crawl would bound the in-state queue
+  // and spill overflow to a re-queue topic/table; the sandbox loop keeps
+  // it in state, matching the closed-corpus test sizes.
+  // ------------------------------------------------------------------
+
+  case class RawCand(url: String, url_hash: Long, host: String, parent_ts_us: Long,
+      wave: Long)
+  case class PendingUrl(url: String, url_hash: Long, warc_ts_us: Long, wave: Long)
+  case class HostCrawlState(next_allowed_ms: Long, fetched_total: Long,
+      pending: List[PendingUrl], seen: Set[Long])
+  case class AdmittedFetch(host: String, url: String, url_hash: Long, wave: Long,
+      rank_in_host: Int, sched_ms: Long)
+
+  /** Sentinel url_hash for per-host tick rows: the re-trigger analog of a
+    * GroupStateTimeout — with Trigger.AvailableNow a stateful group only
+    * fires when it has input, so the loop driver appends one tick per known
+    * host each wave, guaranteeing hosts with a non-empty pending queue get
+    * their admission pass even when nothing new was discovered for them. */
+  val TickHash: Long = Long.MinValue
+
+  /** The fused admit function: in-wave exact dedup (min parent ts per url —
+    * the batch `groupBy(url).agg(min warc_ts)`), cross-wave dedup against
+    * the in-state seen set (the batch J3 anti-join), merge into the pending
+    * queue, admit the top-`budget` in the batch dequeue order
+    * (discovered-wave asc ≙ priority desc, then warc_ts, url_hash, url),
+    * advance the politeness clock per admission. */
+  private[streaming] def admitFn(budget: Int, delayMs: Long)(
+      host: String, batch: Iterator[RawCand], state: GroupState[HostCrawlState])
+      : Iterator[AdmittedFetch] = {
+    val st0 = state.getOption.getOrElse(HostCrawlState(0L, 0L, Nil, Set.empty))
+    val (ticks, cands) = batch.toSeq.partition(_.url_hash == TickHash)
+    // current wave: ticks and candidates are both stamped with the wave
+    // whose trigger drains them
+    val wave = (ticks.map(_.wave) ++ cands.map(_.wave)).max
+    // in-wave exact dedup: min parent_ts per url_hash (earliest wave
+    // first). A candidate drained at wave w came from a page fetched at
+    // wave w-1, so its batch discovered_round analog is w-1.
+    val arrivals = cands
+      .groupBy(_.url_hash)
+      .map { case (_, xs) =>
+        val first = xs.minBy(c => (c.wave, c.parent_ts_us, c.url))
+        PendingUrl(first.url, first.url_hash,
+          xs.filter(_.wave == first.wave).map(_.parent_ts_us).min, first.wave - 1)
+      }
+      .filterNot(p => st0.seen.contains(p.url_hash))
+      .toSeq
+    val pending = (st0.pending ++ arrivals)
+      .sortBy(p => (p.wave, p.warc_ts_us, p.url_hash, p.url))
+    val (admit, residual) = pending.splitAt(budget)
+    var clock = st0.next_allowed_ms
+    var total = st0.fetched_total
+    val out = admit.zipWithIndex.map { case (p, i) =>
+      val sched = clock
+      clock += delayMs
+      total += 1
+      AdmittedFetch(host, p.url, p.url_hash, wave, i + 1, sched)
+    }
+    state.update(HostCrawlState(clock, total, residual,
+      st0.seen ++ arrivals.map(_.url_hash)))
+    out.iterator
+  }
+
+  /** Raw discovery for the fused loop: explode + canonicalize outlinks of
+    * newly fetched pages, NO stream-side dedup — the fused stage's state
+    * does all dedup exactly. Carries the wave number for ordering. */
+  def discoverRaw(spark: SparkSession, fetchedDir: String, checkpointDir: String,
+      frontierDir: String, wave: Long): StreamingQuery = {
+    spark.readStream.schema(pageSchema).parquet(fetchedDir)
+      .select(unix_micros(col("warc_ts")).as("parent_ts_us"),
+        explode(extract_outlinks(col("html"))).as("raw_url"))
+      .withColumn("url", url_canonicalize(col("raw_url")))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .withColumn("host", url_host(col("url")))
+      .filter(col("host").isNotNull)
+      .withColumn("wave", lit(wave))
+      .select("url", "url_hash", "host", "parent_ts_us", "wave")
+      .writeStream
+      // plain batch append, NOT the streaming parquet sink: the sink's
+      // _spark_metadata log would make downstream readers ignore the loop
+      // driver's tick files (batch appends into the same dir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(frontierDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The fused stage: ONE stateful streaming query from raw candidates to
+    * fetched pages — per-host frontier + seen + politeness in GroupState
+    * (initialized from the seeds, mirroring the batch round-0 commit),
+    * admitted URLs fetch-joined against the static corpus in foreachBatch
+    * and appended back to `fetchedDir` to feed the next wave. */
+  def fusedAdmitFetch(spark: SparkSession, corpus: DataFrame, frontierDir: String,
+      checkpointDir: String, fetchedDir: String, admittedDir: String,
+      seedsByHost: Dataset[(String, HostCrawlState)], budget: Int,
+      delayMs: Long): StreamingQuery = {
+    import spark.implicits._
+    val candSchema = StructType(Seq(
+      StructField("url", StringType), StructField("url_hash", LongType),
+      StructField("host", StringType), StructField("parent_ts_us", LongType),
+      StructField("wave", LongType)))
+    spark.readStream.schema(candSchema).parquet(frontierDir)
+      .as[RawCand]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout(),
+        seedsByHost.groupByKey(_._1).mapValues(_._2))(
+        (host, batch, state: GroupState[HostCrawlState]) =>
+          admitFn(budget, delayMs)(host, batch, state))
+      .writeStream
+      .foreachBatch { (admitted: Dataset[AdmittedFetch], _: Long) =>
+        val s2 = admitted.sparkSession
+        val adm = admitted.toDF()
+        adm.write.mode("append").parquet(admittedDir)
+        adm.select("url")
+          .join(corpus, Seq("url"), "inner")
+          .select("url", "warc_ts", "html", "text", "lang")
+          .write.mode("append").parquet(fetchedDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drive `waves` fused cycles; returns the admitted log (wave, host,
+    * rank_in_host, url — the tuples the batch-equivalence spec compares
+    * against CrawlDriver rounds).
+    *
+    * Wave 0 ≙ the batch round-0 seed commit: per-host GroupState starts
+    * with the seeds in PENDING (discovered wave 0) and in `seen`, so wave 1
+    * admits the politeness-top-k of the seeds exactly like batch round 1
+    * dequeues them (over-budget seeds stay pending — same residual
+    * semantics). fetchedDir starts empty; admitted URLs fetch-join the
+    * corpus and append there, feeding the next wave's discovery. */
+  def fusedLoop(spark: SparkSession, corpus: DataFrame, workDir: String,
+      seeds: DataFrame, budget: Int, delayMs: Long, waves: Int): DataFrame = {
+    import spark.implicits._
+    val fetchedDir = s"$workDir/fetched"
+    val frontierDir = s"$workDir/frontier"
+    val admittedDir = s"$workDir/admitted"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fetchedDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+
+    val seedRows = seeds
+      .select(col("host"), col("url"), col("url_hash"),
+        unix_micros(col("warc_ts")).as("warc_ts_us"))
+      .as[(String, String, Long, Long)].collect()
+    val seedStates = seedRows.groupBy(_._1).map { case (h, xs) =>
+      (h, HostCrawlState(0L, 0L,
+        xs.map(x => PendingUrl(x._2, x._3, x._4, 0L)).toList,
+        xs.map(_._3).toSet))
+    }.toSeq.toDS()
+    val knownHosts = scala.collection.mutable.Set[String](seedRows.map(_._1): _*)
+
+    for (w <- 1L to waves.toLong) {
+      discoverRaw(spark, fetchedDir, s"$workDir/ckpt-discover", frontierDir, w)
+        .awaitTermination()
+      // tick every known host (hosts can also ARRIVE this wave — collect
+      // them from the frontier dir so next wave ticks them too)
+      knownHosts ++= spark.read.schema(StructType(Seq(
+          StructField("url", StringType), StructField("url_hash", LongType),
+          StructField("host", StringType), StructField("parent_ts_us", LongType),
+          StructField("wave", LongType))))
+        .parquet(frontierDir)
+        .select("host").distinct().as[String].collect()
+      knownHosts.toSeq.sorted
+        .map(h => (null.asInstanceOf[String], TickHash, h, 0L, w))
+        .toDF("url", "url_hash", "host", "parent_ts_us", "wave")
+        .write.mode("append").parquet(frontierDir)
+      fusedAdmitFetch(spark, corpus, frontierDir, s"$workDir/ckpt-fused",
+        fetchedDir, admittedDir, seedStates, budget, delayMs)
+        .awaitTermination()
+    }
+    spark.read.parquet(admittedDir)
+  }
 }

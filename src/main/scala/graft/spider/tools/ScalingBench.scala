@@ -21,8 +21,36 @@ import graft.spider.synth.PagesSynth
   */
 object ScalingBench {
 
-  case class LevelResult(cpus: Int, fetched: Long, secs: Double) {
+  case class LevelResult(cpus: Int, fetched: Long, secs: Double, probeGibs: Double) {
     def urlsPerSec: Double = fetched / secs
+  }
+
+  /** Memory-bandwidth microprobe: `threads` private streaming long-sum
+    * scans, run immediately before the timed crawl. Co-tenant drift on this
+    * box shows up as a proportional swing in this number (BENCH/BASELINE.md
+    * "the box is not the limiter"), so the reporter can normalize each
+    * run's wall time by its own probe — the drift-robust estimator VERDICT
+    * r2 task #1 asks for. Returns aggregate GiB/s. */
+  def bandwidthProbe(threads: Int, mibPerThread: Int = 1024, passes: Int = 3): Double = {
+    val n = mibPerThread * 1024 * 1024 / 8
+    @volatile var sink = 0L
+    val arrays = Array.fill(threads)(new Array[Long](n))
+    arrays.foreach { a => var i = 0; while (i < n) { a(i) = i; i += 64 } } // pretouch
+    val t0 = System.nanoTime()
+    val ts = arrays.map { a =>
+      val t = new Thread {
+        override def run(): Unit = {
+          var s = 0L; var p = 0
+          while (p < passes) { var i = 0; while (i < n) { s += a(i); i += 1 }; p += 1 }
+          sink += s
+        }
+      }
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val gib = threads.toDouble * mibPerThread / 1024 * passes
+    gib / secs
   }
 
   def runAt(cpus: Int, sfDir: String, replicate: Int, rounds: Int,
@@ -109,12 +137,16 @@ object ScalingBench {
         System.err.println(s"[scaling] barrier released")
       }
 
+      // drift probe immediately before the timed region (see bandwidthProbe)
+      val probe = bandwidthProbe(cpus)
+      System.err.println(f"[scaling] bandwidth probe: $probe%.2f GiB/s aggregate at $cpus threads")
+
       val t0 = System.nanoTime()
       val catalog = CrawlDriver.run(spark, pages, seeds, robots, cfg, state)
       val secs = (System.nanoTime() - t0) / 1e9
       val fetched = (1 to rounds).map(r => catalog.countersOf(r).fetched).sum
       System.err.println(s"[scaling] cpus=$cpus pages=$nPages fetched=$fetched secs=$secs")
-      LevelResult(cpus, fetched, secs)
+      LevelResult(cpus, fetched, secs, probe)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -134,7 +166,7 @@ object ScalingBench {
     // same JVM stalls sporadically in this sandbox; see BENCH/BASELINE.md).
     val results = cpusList.map(c => runAt(c, sfDir, replicate, rounds, noiseLen, perReplicaDocs))
     val parts = results.map { r =>
-      f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f}"""
+      f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f,"probe_gibs":${r.probeGibs}%.2f}"""
     }
     val eff =
       if (results.length >= 2 && results.last.cpus == results.head.cpus * 4)

@@ -64,6 +64,62 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkTestBase {
     corpus.unpersist()
   }
 
+  test("fused frontier+politeness GroupState loop ≡ batch rounds (ordering, ranks, residuals)") {
+    import spark.implicits._
+    import graft.spider.core.{CrawlConfig, RobotsRule}
+    import graft.spider.CrawlDriver
+
+    val pages = PagesSynth.pages(spark, sfDir).persist()
+    pages.count()
+    // uniform politeness so both sides compute the same per-host budget:
+    // roundLen 3000 / delay 1000 → budget 3, matching the batch default for
+    // hosts without a robots row
+    val delayMs = 1000L
+    val cfg = CrawlConfig(rounds = 3, roundLenMs = 3000L)
+    val budget = (cfg.roundLenMs / delayMs).toInt
+    val seeds = PagesSynth.seeds(spark, sfDir, cfg)
+    val allHosts = pages
+      .select(graft.spider.expr.SpiderFunctions.url_host(col("url")).as("host"))
+      .distinct().as[String].collect()
+    val robots = spark.createDataset(
+      allHosts.toSeq.map(h => RobotsRule(h, Seq.empty, delayMs)))
+
+    val batchCatalog = CrawlDriver.run(spark, pages, seeds, robots, cfg,
+      Files.createTempDirectory("graft-fused-batch-").toString)
+    val batchTuples = batchCatalog.readCrawled(cfg.rounds)
+      .select(col("round").cast("long"), col("host"), col("rank_in_host"), col("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+    val work = Files.createTempDirectory("graft-fused-").toString
+    val admitted = StreamingCrawl.fusedLoop(spark, pages, work, seeds.toDF(),
+      budget, delayMs, waves = cfg.rounds)
+    // batch `crawled` excludes dequeued-but-missing urls; admissions include
+    // them (budget consumed either way, both engines) — restrict the same way
+    val streamTuples = admitted
+      .join(pages.select("url"), Seq("url"), "left_semi")
+      .select(col("wave"), col("host"), col("rank_in_host"), col("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+    assert(streamTuples == batchTuples,
+      s"stream=${streamTuples.size} batch=${batchTuples.size}; " +
+        s"missing=${(batchTuples -- streamTuples).take(3)} " +
+        s"extra=${(streamTuples -- batchTuples).take(3)}")
+    // politeness invariant on the streaming side: per (host, wave) ≤ budget,
+    // admission clocks strictly delay-spaced per host
+    val perHostWave = admitted.groupBy("host", "wave").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perHostWave <= budget)
+    val badSpacing = admitted.select("host", "sched_ms").collect()
+      .groupBy(_.getString(0)).values.map { rows =>
+        val ts = rows.map(_.getLong(1)).sorted
+        ts.zip(ts.drop(1)).count { case (a, b) => b - a < delayMs }
+      }.sum
+    assert(badSpacing == 0, "politeness clock must space admissions by the delay")
+    pages.unpersist()
+  }
+
   test("politeness clock state: admissions spaced by crawl delay per host") {
     import spark.implicits._
     val events = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingCrawl.FetchEvent](

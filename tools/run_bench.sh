@@ -25,6 +25,8 @@ mkdir -p "$GRAFT_LOCAL_DIR" "$GRAFT_STATE_DIR"
 # timed region). Without it the JVM grows into the heap mid-run and gVisor
 # demand-paging shows up as 30-300 s "environmental stalls" concentrated in
 # the first memory-heavy round (diagnosed round 2: the classic r3 stall).
+# GRAFT_CLASSES: frozen classes snapshot for long campaigns, so concurrent
+# sbt compiles can't churn class files under a running bench JVM.
 exec java $ADD_OPENS \
   -Xms"${SPARK_DRIVER_MEM:-100g}" \
   -Xmx"${SPARK_DRIVER_MEM:-100g}" \
@@ -32,5 +34,5 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Djava.io.tmpdir="$GRAFT_STATE_DIR" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" \
   "$@"

@@ -142,6 +142,34 @@ object RoundPlanAudit {
     sb.append("## fetch join (shuffled-hash, pages pre-partitioned by url)\n\n```\n")
     sb.append(fmt(fetchPlan)).append("\n```\n\n")
 
+    // ---- long-crawl compaction audit: probe-plan branch count BOUNDED ----
+    // 10 rounds with compactSeenEvery=4: the seen input after round 10 must
+    // union base(r8) + deltas r9..r10 → 3 scan branches, not 11. Without
+    // compaction the probe plan grows one branch per round (the r2 gap).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val longCfg = CrawlConfig(rounds = 10, compactSeenEvery = 4)
+    val longState = java.nio.file.Files.createTempDirectory("graft-audit-long-").toString
+    CrawlDriver.crawlFromSf(spark, sfDir, longCfg, longState)
+    val longCat = new CrawlCatalog(longState, spark)
+    def scanBranches(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Scan parquet") || l.contains("FileScan"))
+    val compactedSeen = longCat.readSeenBucketed(10)
+    val uncompacted = (0 to 10).flatMap { r =>
+      val t = longCat.manifest(r).get("tables").get("seen")
+      if (t.get("rows").asLong() == 0L) None
+      else Some(spark.read.parquet(t.get("path").asText()))
+    }.reduce(_.unionByName(_))
+    val nCompacted = scanBranches(compactedSeen)
+    val nPlain = scanBranches(uncompacted)
+    sb.append("## seen input after a 10-round crawl (compactSeenEvery=4)\n\n")
+    sb.append(s"- probe input scan branches WITH compaction (base r8 + deltas r9,r10): **$nCompacted**\n")
+    sb.append(s"- same history as raw per-round deltas (the r2 design): **$nPlain**\n")
+    sb.append(s"- per-bucket file count: base is one file per bucket regardless of round count\n\n")
+    require(nCompacted <= 3 && nPlain >= 10,
+      s"compaction audit failed: $nCompacted vs $nPlain branches")
+
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")
     spark.stop()

@@ -498,6 +498,18 @@ object Demos {
         .orderBy("media_id")
     }),
 
+    // multimodal: REAL container decode (BMP pixels / WAV samples via
+    // MediaCodec; opaque payloads → declared stub) — decoded metadata
+    // surfaced per media row
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.synthMedia(s, dir).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("codec"), col("decoded_w"), col("decoded_h"),
+          col("n_samples"))
+        .orderBy("media_id")
+    }),
+
     // multimodal: deterministic frame sampling over the binary payload
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthMedia(s, dir), k = 4)

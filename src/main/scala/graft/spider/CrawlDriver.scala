@@ -156,25 +156,32 @@ object CrawlDriver {
           catalog.readSeenBucketed(committedRound),
           if (cfg.seenDsv2) Some(catalog.readSeenV2(committedRound, cfg.seenBuckets)) else None,
           extra)
-      val (frontier, seen, hostState, frontierInBound) = pending match {
+      val (frontier, seen, hostState, frontierInBound, prevLinksN, prebuilt) = pending match {
         case Some(p) =>
+          // dequeue frames for this round were Catalyst-analyzed on a pool
+          // thread during the previous round — ready by now in the steady
+          // state, so this await is ~instant
+          val pre = Await.result(p.out.nextDequeueF, Duration.Inf)
           (p.out.frontierNext, seenInput(p.round - 1, Some(p.out.seenDelta)),
-            p.out.hostStateNext, p.out.frontierOutBound)
+            p.out.hostStateNext, p.out.frontierOutBound, p.out.linksN, pre)
         case None =>
           // Exact |frontier| from round r-1's committed manifest — NOT the
           // startRound value, which goes stale after the first un-pipelined
           // round and could under-report the bound (an underestimate can
           // flip a strategy toward broadcast of a frontier-scale side).
+          // prev links (the flip-strategy signal) is exact from the
+          // manifest counters; 0 for a seed-only round-0 parent.
           val bound = catalog.manifest(r - 1)
             .get("tables").get("frontier").get("rows").asLong()
           (catalog.readFrontier(r - 1), seenInput(r - 1, None),
-            catalog.readHostState(r - 1), bound)
+            catalog.readHostState(r - 1), bound,
+            catalog.countersOf(r - 1).links_extracted, None)
       }
       val prevF = chainF
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
-        frontierInBound, pc.stage, robotsRows)
+        frontierInBound, pc.stage, robotsRows, prevLinksN, prebuilt)
       // Periodic seen compaction rides this round's commit: full history
       // through r = this round's input (through r-1) ∪ this round's delta,
       // all already persisted/checkpointed frames, so the rewrite drains on

@@ -77,7 +77,12 @@ object CrawlEngine {
         * writes (same content) drain in the background. */
       frontierNext: DataFrame,
       seenDelta: DataFrame,
-      hostStateNext: DataFrame) {
+      hostStateNext: DataFrame,
+      /** Round r+1's dequeue/fetch frames, Catalyst-analyzed on a pool
+        * thread during round r — the driver awaits (instantly, in the
+        * steady state) and passes them as `prebuilt` so the next round
+        * skips its plan-construction head. None on the final round. */
+      nextDequeueF: scala.concurrent.Future[Option[DequeueFrames]]) {
     /** Upper bound on |frontierNext|, available synchronously — drives the
       * next round's broadcast-vs-shuffle strategy choices (the exact value
       * arrives with rawStatsF; a bound can only flip a choice toward the
@@ -117,33 +122,37 @@ object CrawlEngine {
   def seenBucketCol(urlHash: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column =
     pmod(urlHash, lit(buckets.toLong)).cast("int")
 
-  def runRound(
+  /** The dequeue + fetch-side frames of one round — pure PLAN construction
+    * (no actions; persists are lazy registrations). Catalyst analysis of
+    * this tree measured 1.4-1.7 s of driver-serial time per round, so the
+    * driver prebuilds round r+1's frames on a pool thread during round r
+    * (see [[RoundOutput.nextDequeueF]]) instead of paying it at round
+    * start. */
+  case class DequeueFrames(
+      round: Int,
+      eligible: DataFrame,
+      hb: DataFrame,
+      ranked: DataFrame,
+      dequeued: DataFrame,
+      residual: DataFrame,
+      extracted: DataFrame)
+
+  /** Build the dequeue/fetch plans for `round` over `frontier` (stage 1 +
+    * the fetch join of stage 2; see runRound's stage map). `frontierInBound`
+    * only picks broadcast-vs-shuffle strategies; when prebuilding for the
+    * NEXT round the driver passes an overestimate, which per the documented
+    * invariant can only flip a choice toward the shuffle path — the one
+    * that is correct at design scale anyway. */
+  def buildDequeue(
       spark: SparkSession,
       pages: DataFrame,
       robots: DataFrame,
       frontier: DataFrame,
-      seen: SeenInput,
-      hostStatePrev: DataFrame,
       round: Int,
       cfg: CrawlConfig,
-      /** (merged Bloom through round-1, exact seen rows through round-1) —
-        * completes when the PREVIOUS round's discovery aggregate lands;
-        * awaited only at this round's discovery stage, so the previous
-        * aggregate overlaps this round's dequeue + fetch phases. */
-      prevStats: scala.concurrent.Future[(Option[Array[Byte]], Long)],
-      /** |frontier| upper bound (exact when read from a manifest) — strategy
-        * decisions only; exact counters are assembled by CrawlDriver. */
       frontierInBound: Long,
-      stage: (String, DataFrame) => Unit,
-      /** exact robots row count (driver materializes the table once) —
-        * drives the broadcast-vs-host-shuffle robots gate strategy. */
-      robotsRows: Long = 0L): RoundOutput = {
-
-    val t0 = System.nanoTime()
+      robotsRows: Long): DequeueFrames = {
     val defaultDelayMs = 1000L
-    if (cfg.verbose) System.err.println(s"[round $round] start")
-
-    // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
     // Robots side: broadcast while small; above the threshold shuffle-join
     // by host — the exchange this puts under the gate is the host
     // partitioning the dequeue window requires anyway, so the round still
@@ -160,30 +169,16 @@ object CrawlEngine {
       .withColumn("budget", greatest(lit(1L), floor(lit(cfg.roundLenMs) / col("crawl_delay_ms"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 1a: narrow scheduling stats. groupBy(host, priority) over two thin
-    // columns replaces the old full-row ranked-count job; dequeuedN is exact
-    // arithmetic (Σ_h min(budget_h, Σ_p n_hp)) — ranking not needed to count.
-    // The scalar ACTION runs as a Future overlapping the fetch job: nothing
-    // in the round's dataflow needs these counts (strategy choices use the
-    // manifest-known frontierIn bound), only the end-of-round counters do.
+    // narrow per-(host, priority) counts: feeds both the scheduling
+    // counters (arithmetic, no ranking) and the priority cutoff below
     val hb = eligible.groupBy("host", "priority")
       .agg(count(lit(1)).as("n"), first(col("budget")).as("budget"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val hbRowF = Future {
-      hb.groupBy("host").agg(sum("n").as("tot"), first("budget").as("b"))
-        .agg(count(lit(1)),
-          coalesce(sum(least(col("tot"), col("b"))), lit(0L)),
-          coalesce(sum("tot"), lit(0L)))
-        .head()
-    }
 
-    // 1b: per-host priority cutoff. For priority band p of host h, the count
+    // per-host priority cutoff: for priority band p of host h, the count
     // of strictly-higher-priority eligible entries is `higher_cum`; if
-    // higher_cum ≥ budget, every entry at band p ranks > budget (ordering is
-    // priority-first) and can be dropped BEFORE the window — exact pruning.
+    // higher_cum ≥ budget, every entry at band p ranks > budget (ordering
+    // is priority-first) and can be dropped BEFORE the window — exact.
     val wCum = Window.partitionBy("host").orderBy(col("priority").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cutoffs0 = hb
@@ -213,13 +208,7 @@ object CrawlEngine {
           .unionByName(withCut.filter(col("priority") < col("prio_cutoff"))
             .select(frontierCols.map(col): _*))
 
-    // Residual is final as soon as the dequeue plans exist — checkpoint it
-    // NOW on a pool thread so its plan compilation (the window/rank subtree,
-    // the most expensive plan of the round to compile) overlaps the fetch
-    // phase below instead of sitting on the round's tail.
-    val residualCkptF = Future { residual.localCheckpoint(false) }
-
-    // ---- 2/3 fetch-simulation + extraction ----
+    // ---- fetch-simulation + extraction plan ----
     val fetchTs = timestamp_micros(
       lit(Corpus.FetchBaseMicros + round.toLong * cfg.roundLenMs * 1000L) +
         (col("rank_in_host") - 1).cast("long") * col("crawl_delay_ms") * lit(1000L))
@@ -230,9 +219,7 @@ object CrawlEngine {
     // pre-partitioned by url (the bench does this), only the small dequeued
     // side shuffles and the probe is fully parallel. This is the strategy
     // that survives scale: a 10^10-URL frontier round can never broadcast
-    // its dequeued set. Decided from the manifest-known frontierIn bound
-    // (dequeued ⊆ frontier) so no count gates the plan; at design scale
-    // frontier ≫ threshold ⇒ shuffle, the right call there regardless.
+    // its dequeued set.
     val dequeuedSel = dequeued.select("url", "url_hash", "host", "rank_in_host", "crawl_delay_ms")
     val fetchSide =
       if (frontierInBound <= cfg.fetchBroadcastMax) broadcast(dequeuedSel)
@@ -247,6 +234,159 @@ object CrawlEngine {
       .drop("page", "html")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    DequeueFrames(round, eligible, hb, ranked, dequeued, residual, extracted)
+  }
+
+  def runRound(
+      spark: SparkSession,
+      pages: DataFrame,
+      robots: DataFrame,
+      frontier: DataFrame,
+      seen: SeenInput,
+      hostStatePrev: DataFrame,
+      round: Int,
+      cfg: CrawlConfig,
+      /** (merged Bloom through round-1, exact seen rows through round-1) —
+        * completes when the PREVIOUS round's discovery aggregate lands;
+        * awaited only at this round's discovery stage, so the previous
+        * aggregate overlaps this round's dequeue + fetch phases. */
+      prevStats: scala.concurrent.Future[(Option[Array[Byte]], Long)],
+      /** |frontier| upper bound (exact when read from a manifest) — strategy
+        * decisions only; exact counters are assembled by CrawlDriver. */
+      frontierInBound: Long,
+      stage: (String, DataFrame) => Unit,
+      /** exact robots row count (driver materializes the table once) —
+        * drives the broadcast-vs-host-shuffle robots gate strategy. */
+      robotsRows: Long = 0L,
+      /** PREVIOUS round's extracted-links count — the flip-vs-classic seen
+        * strategy signal. Using last round's magnitude instead of this
+        * round's exact linksN lets the whole discovery subtree (bloom
+        * broadcast, probe plan, checkpoint compile — measured 2-3 s of
+        * driver-serial work) compile on a pool thread DURING the fetch job
+        * instead of on the round tail. Strategy-only: both join paths are
+        * exact (equivalence-tested), so a stale signal can only cost
+        * speed, never correctness. 0 (round 1) reads as "links ≪ seen" —
+        * the flip regime, right for a seeded round. */
+      prevLinksN: Long = 0L,
+      /** Round-r dequeue/fetch frames prebuilt during round r-1 (see
+        * [[RoundOutput.nextDequeueF]]) — skips the 1.4-1.7 s of Catalyst
+        * analysis otherwise paid serially at round start. */
+      prebuilt: Option[DequeueFrames] = None): RoundOutput = {
+
+    val t0 = System.nanoTime()
+    if (cfg.verbose) System.err.println(s"[round $round] start")
+
+    // ---- 1 dequeue: robots gate + per-host politeness budget top-k ----
+    // (O1/W1: the window's hash exchange on host IS the explicit host
+    // partitioning; trailing sort keys make the order total ⇒ replayable.)
+    prebuilt.foreach(p => require(p.round == round,
+      s"prebuilt dequeue frames are for round ${p.round}, not $round"))
+    val dq = prebuilt.getOrElse(
+      buildDequeue(spark, pages, robots, frontier, round, cfg, frontierInBound, robotsRows))
+    val eligible = dq.eligible
+    val hb = dq.hb
+    val ranked = dq.ranked
+    val extracted = dq.extracted
+
+    // 1a: narrow scheduling stats. groupBy(host, priority) over two thin
+    // columns replaces the old full-row ranked-count job; dequeuedN is exact
+    // arithmetic (Σ_h min(budget_h, Σ_p n_hp)) — ranking not needed to count.
+    // The scalar ACTION runs as a Future overlapping the fetch job: nothing
+    // in the round's dataflow needs these counts (strategy choices use the
+    // manifest-known frontierIn bound), only the end-of-round counters do.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val hbRowF = Future {
+      hb.groupBy("host").agg(sum("n").as("tot"), first("budget").as("b"))
+        .agg(count(lit(1)),
+          coalesce(sum(least(col("tot"), col("b"))), lit(0L)),
+          coalesce(sum("tot"), lit(0L)))
+        .head()
+    }
+
+    // Residual is final as soon as the dequeue plans exist — checkpoint it
+    // NOW on a pool thread so its plan compilation (the window/rank subtree,
+    // the most expensive plan of the round to compile) overlaps the fetch
+    // phase below instead of sitting on the round's tail.
+    val residualCkptF = Future { dq.residual.localCheckpoint(false) }
+
+    // ---- 4 discover (PLAN build + compile, overlapping the fetch job) ----
+    // Everything driver-serial about the discovery stage — awaiting the
+    // previous round's sketch, broadcasting it, building the candidate /
+    // probe plans, and compiling the new-entries checkpoint (toRdd) — runs
+    // on a pool thread WHILE the fetch job executes below. Measured 2-3 s
+    // per round of tail time in round 2; now it hides behind the 4-20 s
+    // fetch. No job runs inside the future (localCheckpoint(false) is
+    // lazy), so executor slots stay with the fetch.
+    val scoped = cfg.scopeHosts match {
+      case Some(hs) => (df: DataFrame) => df.filter(col("host").isin(hs.toSeq: _*))
+      case None     => (df: DataFrame) => df
+    }
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val discoveryF = Future {
+      val cand = scoped(
+        extracted
+          .select(col("warc_ts").as("parent_ts"), explode(col("outlinks")).as("raw_url"))
+          .withColumn("url", url_canonicalize(col("raw_url")))
+          // E2 via the shared core (UrlCanonical.host), NOT parse_url: the
+          // built-in nulls out URLs java.net.URI rejects, which would drop
+          // candidates the oracle keeps (engine≡oracle would diverge).
+          .withColumn("host", url_host(col("url")))
+          .filter(col("host").isNotNull))
+        .groupBy("url")
+        .agg(min(col("parent_ts")).as("warc_ts"), min(col("host")).as("host"))
+        .withColumn("url_hash", xxhash64(col("url")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // The previous round's discovery aggregate lands here (typically it
+      // finished during our dequeue) — its merged Bloom gates THIS round's
+      // prefilter (exact semantics: a stale filter could mark a
+      // just-enqueued URL "definitely new").
+      val (bloomBytes, seenRows) = Await.result(prevStats, Duration.Inf)
+      if (cfg.verbose) System.err.println(
+        s"[round $round] prev discovery stats ready @${(System.nanoTime() - t0) / 1e9}")
+
+      // Sharded Bloom arrives via SparkContext.broadcast — tasks pull the
+      // blocks once per executor; the expression tree stays tiny at any
+      // filter size (round 1 shipped the filter as a literal: task binaries
+      // ballooned and a driver-held monolith cannot exist at 10^10 URLs).
+      val bloomBc: Option[Broadcast[Array[Array[Byte]]]] =
+        if (cfg.bloomPrefilter)
+          bloomBytes.map(b => spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
+        else None
+
+      // J3 strategy, cost-based with no count job on the path: prevLinksN
+      // (last round's links, a proxy for this round's candidate volume) vs
+      // seenRows (manifest-exact). Flip — scan seen, broadcast candidate
+      // keys — only in its winning regime, seen ≫ candidates; otherwise the
+      // fully-distributed classic join (storage-partitioned over DSv2).
+      val flip = prevLinksN <= cfg.seenFlipMax &&
+        seenRows.toDouble >= cfg.seenFlipRatio * math.max(1L, prevLinksN)
+      val flagged = flagAgainstSeen(cand, seen, bloomBc, cfg, flip)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      val newEntries = flagged.filter(col("is_new")).select(
+        col("url"), col("url_hash"), col("host"),
+        xxhash64(col("host")).as("host_hash"),
+        lit(Corpus.priorityAtRound(round)).as("priority"),
+        lit(round).as("discovered_round"),
+        col("warc_ts"))
+
+      // Lazy local checkpoint (see hostStateNextP): cached blocks +
+      // truncated plan, materialized by whichever consumer runs first (the
+      // staged write racing the pipelined next round's first job). The
+      // expensive part HERE is the toRdd plan compile — the reason this
+      // future exists.
+      val newCkpt = newEntries.localCheckpoint(false)
+      if (cfg.verbose) System.err.println(
+        s"[round $round] ckpt new compiled @${(System.nanoTime() - t0) / 1e9} (flip=$flip)")
+      (cand, bloomBc, flagged, newCkpt, flip)
+    }
+
+    if (cfg.verbose) System.err.println(
+      s"[round $round] fetch submit @${(System.nanoTime() - t0) / 1e9}")
     val s2 = extracted.agg(count(lit(1)), coalesce(sum("n_links"), lit(0L))).head()
     val fetchedN = s2.getLong(0)
     val linksN = s2.getLong(1)
@@ -292,67 +432,33 @@ object CrawlEngine {
     stage("crawled", crawledDelta)
     stage("hoststate", hostStateNextP)
 
-    // ---- 4 discover: canonicalize, hash, dedup (in-batch + vs seen) ----
-    val scoped = cfg.scopeHosts match {
-      case Some(hs) => (df: DataFrame) => df.filter(col("host").isin(hs.toSeq: _*))
-      case None     => (df: DataFrame) => df
-    }
-    val cand = scoped(
-      extracted
-        .select(col("warc_ts").as("parent_ts"), explode(col("outlinks")).as("raw_url"))
-        .withColumn("url", url_canonicalize(col("raw_url")))
-        // E2 via the shared core (UrlCanonical.host), NOT parse_url: the
-        // built-in nulls out URLs java.net.URI rejects, which would drop
-        // candidates the oracle keeps (engine≡oracle would diverge).
-        .withColumn("host", url_host(col("url")))
-        .filter(col("host").isNotNull))
-      .groupBy("url")
-      .agg(min(col("parent_ts")).as("warc_ts"), min(col("host")).as("host"))
-      .withColumn("url_hash", xxhash64(col("url")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Round r+1's dequeue/fetch frames, built over frontierNext as soon as
+    // both checkpoint leaves are compiled — another 1.4-1.7 s of Catalyst
+    // analysis chained off the round's pool work instead of the next
+    // round's head. NOT awaited here (the driver awaits at round r+1
+    // start, by when it has long finished). The bound is a deliberate
+    // overestimate: |frontier(r+1)| ≤ |frontier(r)| + links(r) ≤ bound,
+    // links(r) estimated as 4× the previous round's — an overestimate can
+    // only flip a strategy toward the shuffle path (the at-scale-correct
+    // one); exactness is never at stake.
+    val nextDequeueF: Future[Option[DequeueFrames]] =
+      if (round >= cfg.rounds || !cfg.pipelinedCommits) Future.successful(None)
+      else for {
+        (_, _, _, newCkpt, _) <- discoveryF
+        residualCkpt <- residualCkptF
+      } yield {
+        val fn = residualCkpt.unionByName(newCkpt)
+        val nextBound = frontierInBound + 4L * math.max(prevLinksN, 1000L)
+        Some(buildDequeue(spark, pages, robots, fn, round + 1, cfg, nextBound, robotsRows))
+      }
 
-    // The previous round's discovery aggregate lands here at the latest —
-    // its merged Bloom gates THIS round's prefilter (exact semantics: a
-    // stale filter could mark a just-enqueued URL "definitely new").
-    val (bloomBytes, seenRows) = Await.result(prevStats, Duration.Inf)
-    if (cfg.verbose) System.err.println(
-      s"[round $round] prev discovery stats ready @${(System.nanoTime() - t0) / 1e9}")
-
-    // Sharded Bloom arrives via SparkContext.broadcast — tasks pull the
-    // blocks once per executor; the expression tree stays tiny at any
-    // filter size (round 1 shipped the filter as a literal: task binaries
-    // ballooned and a driver-held monolith cannot exist at 10^10 URLs).
-    val bloomBc: Option[Broadcast[Array[Array[Byte]]]] =
-      if (cfg.bloomPrefilter)
-        bloomBytes.map(b => spark.sparkContext.broadcast(Sketches.shardedFrom(b)))
-      else None
-
-    // J3 strategy, cost-based with no extra count job: linksN (an upper
-    // bound on |cand|, already counted in the extract job) vs seenRows
-    // (from the snapshot manifests). Flip — scan seen, broadcast candidate
-    // keys — only in its winning regime, seen ≫ candidates; otherwise the
-    // fully-distributed classic join (no driver-serial broadcast step).
-    val flip = linksN <= cfg.seenFlipMax &&
-      seenRows.toDouble >= cfg.seenFlipRatio * math.max(1L, linksN)
-    val flagged = flagAgainstSeen(cand, seen, bloomBc, cfg, flip)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val newEntries = flagged.filter(col("is_new")).select(
-      col("url"), col("url_hash"), col("host"),
-      xxhash64(col("host")).as("host_hash"),
-      lit(Corpus.priorityAtRound(round)).as("priority"),
-      lit(round).as("discovered_round"),
-      col("warc_ts"))
-
-    // Lazy local checkpoints (see hostStateNextP): cached blocks + truncated
-    // plans, materialized by whichever consumer runs first (the staged write
-    // racing the pipelined next round's first job). frontierNext is a UNION
-    // OF TWO LEAVES — the residual checkpoint compiled during the fetch
-    // phase and the newEntries checkpoint — so the only plan compiled on
-    // the round's tail is the (cheap) discovery-side subtree; the union
-    // itself stays un-checkpointed (depth-1 over leaves, lineage bounded).
-    val newCkpt = newEntries.localCheckpoint(false)
-    if (cfg.verbose) System.err.println(s"[round $round] ckpt new @${(System.nanoTime() - t0) / 1e9}")
+    // ---- tail: both checkpoint leaves were compiled during the fetch ----
+    // frontierNext is a UNION OF TWO LEAVES — the residual checkpoint and
+    // the newEntries checkpoint, both compiled on pool threads while the
+    // fetch job ran — so the round tail only assembles frames and stages
+    // writes; the union itself stays un-checkpointed (depth-1 over leaves,
+    // lineage bounded).
+    val (cand, bloomBc, flagged, newCkpt, flip) = Await.result(discoveryF, Duration.Inf)
     val residualCkpt = Await.result(residualCkptF, Duration.Inf)
     val frontierNext = residualCkpt.unionByName(newCkpt)
     val seenDelta = newCkpt.select(col("url_hash"), col("url"))
@@ -390,7 +496,8 @@ object CrawlEngine {
     RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, rawStatsF,
       Seq(eligible, hb, ranked, extracted, cand, flagged,
         hostStateNextP, frontierNext, seenDelta),
-      ckptRdds, bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP)
+      ckptRdds, bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP,
+      nextDequeueF)
   }
 
   /** J3: mark each candidate `is_new` against the exact seen set.

@@ -60,8 +60,11 @@ object ScalingBench {
       .appName(s"graft-scaling-$cpus")
       // partitions sized to the parallelism level; AQE coalesces the many
       // small crawl-state shuffles (a fixed large P anti-scales: 64 tiny
-      // write/shuffle tasks × 32 threads contend on the local FS/scheduler)
-      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      // write/shuffle tasks × 32 threads contend on the local FS/scheduler).
+      // GRAFT_PARTS_MULT / GRAFT_AQE are protocol-experiment overrides.
+      .config("spark.sql.shuffle.partitions",
+        (cpus * sys.env.getOrElse("GRAFT_PARTS_MULT", "2").toInt).toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       // Listener events carry a physical-plan description built EAGERLY per
       // action; with nested InMemoryRelation trees that string is MBs and
       // costs driver seconds per job. Truncate it — nothing consumes it

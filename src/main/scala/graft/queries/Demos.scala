@@ -41,6 +41,18 @@ object Demos {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** One CorpusStore layout per (session, sfDir): written once, reopened by
+    * the corpus_bucketed demo (the write is the expensive half). */
+  private val corpusStoreCache = scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+  private def bucketedPages(s: SparkSession, dir: String): DataFrame = {
+    val d = corpusStoreCache.getOrElseUpdate((s, dir), {
+      val path = tmpDir("graft-q-corpus-")
+      graft.spider.synth.CorpusStore.write(s, pages(s, dir), path, buckets = 4)
+      path
+    })
+    graft.spider.synth.CorpusStore.open(s, d)
+  }
+
   /** ONE shared 3-round crawl catalog per (session, sfDir). Every crawl-state
     * demo (crawl_round1 / crawl_multiround / round_counters /
     * checkpoint_roundtrip) reads from it: rounds are pure functions of
@@ -79,6 +91,14 @@ object Demos {
     // S1/S2: corpus scan — the synthesizer is verified column-by-column
     "scan_pages" -> ((s, dir) =>
       pages(s, dir).select(col("url"), col("lang"), col("warc_ts")).orderBy("url")),
+
+    // S2 at scale (round 3): the url-bucketed on-disk corpus layout
+    // (CorpusStore) — written once, reopened as an external bucketed table
+    // whose scan reports HashPartitioning(url); same oracle as scan_pages,
+    // so the layout round-trip is DuckDB-checked end to end
+    "corpus_bucketed" -> ((s, dir) =>
+      bucketedPages(s, dir).select(col("url"), col("lang"), col("warc_ts"))
+        .orderBy("url")),
 
     // E5: extraction inverts the wrap byte-for-byte ⇒ equals documents.text
     "extract_text" -> ((s, dir) =>
@@ -522,6 +542,8 @@ object Demos {
   // ------------------------------------------------------------------
   val oracleSql: Map[String, String] = Map(
     "scan_pages" ->
+      s"SELECT $duckUrl AS url, lang, $duckWarcTs AS warc_ts FROM documents ORDER BY url",
+    "corpus_bucketed" ->
       s"SELECT $duckUrl AS url, lang, $duckWarcTs AS warc_ts FROM documents ORDER BY url",
     "extract_text" ->
       s"SELECT $duckUrl AS url, text FROM documents ORDER BY url",

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.spider.CrawlDriver
 import graft.spider.core.CrawlConfig
 import graft.spider.state.CrawlCatalog
-import graft.spider.synth.PagesSynth
+import graft.spider.synth.{CorpusStore, PagesSynth}
 
 /** Two-cluster-size scaling evidence (BASELINE.md protocol): run the SAME
   * crawl on the SAME input at two parallelism levels (local[N] vs local[4N])
@@ -95,24 +95,55 @@ object ScalingBench {
       // driver-serial; the bench measures the at-scale path at every round).
       val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true,
         fetchBroadcastMax = 0L)
-      // Pre-partition the corpus by url: large-round fetch joins then only
-      // shuffle the (small) dequeued side — the at-scale layout (bucketing).
-      // NOTE: persist (columnar cache, partitioning visible to Catalyst),
-      // NOT localCheckpoint — a LogicalRDD leaf loses the hash partitioning
-      // here and every round then re-exchanges the 17 GB corpus (measured).
-      // Corpus storage level (GRAFT_PAGES_STORAGE, default DISK_ONLY):
-      // DISK_ONLY on the tmpfs local dir keeps the multi-GB corpus OUT of
-      // the executor heap — the design-honest posture (a 100-TB corpus
-      // always streams from storage) and the stable one here: heap-cached
-      // corpus at local[1] hit eviction/recompute churn at large replicate
-      // (round-2 cliffs of 60-160 s), which corrupts the scaling pairs.
-      val pagesStorage = org.apache.spark.storage.StorageLevel.fromString(
-        sys.env.getOrElse("GRAFT_PAGES_STORAGE", "DISK_ONLY"))
-      val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
-          noiseLen = noiseLen)
-        .repartition(cpus * 2, col("url"))
-        .persist(pagesStorage)
-      val nPages = pages.count()
+      // Corpus layout, two modes:
+      //
+      // GRAFT_CORPUS_DIR set (the round-3 campaign default): the corpus is a
+      // url-BUCKETED parquet table (CorpusStore) written ONCE — by
+      // CorpusBuild at full parallelism — and opened read-only by every
+      // run at every level. The bucketed scan reports HashPartitioning(url),
+      // so per-round fetch joins shuffle only the dequeued side and stream
+      // the corpus from tmpfs storage with the vectorized reader: the
+      // design-honest 100-TB posture (bucketed table, nothing pinned in the
+      // block manager), identical input BYTES across all runs/levels, and
+      // no per-run single-threaded synthesis at local[1].
+      //
+      // Unset (legacy / self-contained): synthesize in-JVM, pre-partition by
+      // url, persist. NOTE: persist (columnar cache, partitioning visible to
+      // Catalyst), NOT localCheckpoint — a LogicalRDD leaf loses the hash
+      // partitioning and every round re-exchanges the multi-GB corpus
+      // (measured). GRAFT_PAGES_STORAGE default DISK_ONLY: tmpfs-backed,
+      // keeps the corpus out of the executor heap (heap-cached corpus at
+      // local[1] hit eviction churn at large replicate — round-2 cliffs).
+      val corpusDir = sys.env.get("GRAFT_CORPUS_DIR").filter(_.nonEmpty)
+      val pages = corpusDir match {
+        case Some(dir) =>
+          if (!CorpusStore.exists(dir)) {
+            System.err.println(s"[scaling] corpus at $dir missing — synthesizing")
+            CorpusStore.write(spark,
+              PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
+                noiseLen = noiseLen),
+              dir, sys.env.getOrElse("GRAFT_CORPUS_BUCKETS", "16").toInt)
+          }
+          val t = CorpusStore.open(spark, dir)
+          // decode-warm the vectorized reader on ONE part file (JIT for the
+          // timed scans without a full pre-timed pass over the corpus)
+          val one = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+            .iterator().asScala.map(_.toString)
+            .filter(f => f.contains("part-") && f.endsWith(".parquet")).take(1).toSeq
+          one.foreach(f => spark.read.parquet(f)
+            .agg(sum(length(col("html")))).collect())
+          t
+        case None =>
+          val pagesStorage = org.apache.spark.storage.StorageLevel.fromString(
+            sys.env.getOrElse("GRAFT_PAGES_STORAGE", "DISK_ONLY"))
+          val p = PagesSynth.pages(spark, sfDir, replicate, spreadHosts = true,
+              noiseLen = noiseLen)
+            .repartition(cpus * 2, col("url"))
+            .persist(pagesStorage)
+          p.count()
+          p
+      }
+      val nPages = corpusDir.map(CorpusStore.rowCount).getOrElse(pages.count())
       val robots = PagesSynth.robotsFor(spark,
         pages.select(graft.spider.expr.SpiderFunctions.url_host(col("url")).as("host"))
           .distinct())

@@ -142,6 +142,24 @@ object RoundPlanAudit {
     sb.append("## fetch join (shuffled-hash, pages pre-partitioned by url)\n\n```\n")
     sb.append(fmt(fetchPlan)).append("\n```\n\n")
 
+    // ---- fetch join over the CorpusStore bucketed table (r3) ----
+    // audit: same join shape with the corpus coming from STORAGE, not the
+    // block manager — the bucketed FileScan reports HashPartitioning(url),
+    // so the only Exchange belongs to the dequeued side and the scan line
+    // shows `Bucketed: true`. This is the 100-TB posture: nothing cached,
+    // corpus streamed per round from a bucket-partitioned table.
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-audit-corpus-").toString
+    graft.spider.synth.CorpusStore.write(spark, PagesSynth.pages(spark, sfDir), corpusDir, 8)
+    val pagesBucketed = graft.spider.synth.CorpusStore.open(spark, corpusDir)
+    val fetchPlanBucketed = pagesBucketed
+      .join(dequeuedStandIn.hint("shuffle_hash"), Seq("url"), "inner")
+      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html")))
+      .select(col("url"), col("page.text"))
+    sb.append("## fetch join (shuffled-hash, CorpusStore bucketed table — corpus streamed from storage)\n\n```\n")
+    sb.append(fmt(fetchPlanBucketed)).append("\n```\n\n")
+    require(fetchPlanBucketed.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+      "bucketed corpus audit failed: scan not bucketed")
+
     // ---- long-crawl compaction audit: probe-plan branch count BOUNDED ----
     // 10 rounds with compactSeenEvery=4: the seen input after round 10 must
     // union base(r8) + deltas r9..r10 → 3 scan branches, not 11. Without

@@ -118,8 +118,7 @@ object CrawlDriver {
     // merged Bloom, and the cumulative seen-row count without any of them
     // blocking a round boundary. Seed values are exact (manifest metadata).
     case class Chain(bloom: Option[Array[Byte]], seenRows: Long, frontierOut: Long)
-    val seenRows0: Long = (0 to startRound).map(r =>
-      catalog.manifest(r).get("tables").get("seen").get("rows").asLong()).sum
+    val seenRows0: Long = catalog.seenRowsThrough(startRound)
     val frontierOut0: Long =
       catalog.manifest(startRound).get("tables").get("frontier").get("rows").asLong()
     var chainF: Future[Chain] = Future.successful(Chain(bloom0, seenRows0, frontierOut0))
@@ -229,6 +228,9 @@ object CrawlDriver {
           s"fetched=${out.fetchedN}")
     }
     retired.foreach(cleanup)
+    // Post-crawl table maintenance (all commits final by here): bound the
+    // catalog's metadata/state-file count by the retention window.
+    if (cfg.expireKeepLast > 0) catalog.expireSnapshots(cfg.expireKeepLast)
     catalog
   }
 

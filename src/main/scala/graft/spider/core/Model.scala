@@ -121,6 +121,15 @@ case class CrawlConfig(
       * count stay bounded. Pure layout: results are invariant (equivalence
       * test pins compaction on ≡ off). */
     compactSeenEvery: Int = 8,
+    /** After the crawl, expire snapshots older than the newest compaction at
+      * or before `latest - expireKeepLast + 1` (0 = keep everything) — the
+      * Iceberg `expire_snapshots` maintenance action. Crawled output and
+      * per-round counters survive in a rollup; superseded frontier/hoststate/
+      * seen-delta state and old manifests are deleted, bounding a long
+      * crawl's metadata and state-file count by the retention window.
+      * Resume-safe: the retained window always includes the latest manifest
+      * and every file set its readers reach. */
+    expireKeepLast: Int = 0,
     /** Pipeline snapshot commits one round deep: round r+1 consumes round
       * r's persisted in-memory state frames while round r's table writes
       * drain in the background; round r's manifest is renamed (the atomic

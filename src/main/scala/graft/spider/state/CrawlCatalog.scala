@@ -67,7 +67,13 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     if (rs.isEmpty) None else Some(rs.max)
   }
 
-  def manifest(round: Int): JsonNode = mapper.readTree(manifestPath(round).toFile)
+  def manifest(round: Int): JsonNode = {
+    if (!Files.exists(manifestPath(round)) && round <= expiredThrough)
+      throw new IllegalStateException(
+        s"snapshot $round is expired (horizon $expiredThrough): only crawled " +
+          "data and counters survive expiration — see expireSnapshots")
+    mapper.readTree(manifestPath(round).toFile)
+  }
 
   /** Write one table's round delta/state and return (rows, per-partition
     * lineage). Lineage comes from the parquet file footers — driver-side
@@ -278,6 +284,13 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   }
 
   def countersOf(round: Int): RoundCounters = {
+    // expired rounds keep their counters in the expiration rollup
+    if (!Files.exists(manifestPath(round))) {
+      expiredState.flatMap(_.counters.get(round)) match {
+        case Some(c) => return c
+        case None => // fall through: manifest() raises the clear error
+      }
+    }
     val c = manifest(round).get("counters")
     RoundCounters(round,
       c.get("frontier_in").asLong(), c.get("robots_blocked").asLong(),
@@ -331,19 +344,34 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     * after it, empties skipped) — inputs for the DSv2 bucket-reporting
     * reader, which needs paths rather than frames. */
   def seenPathsThrough(round: Int): Seq[String] = {
-    val base = (round to 0 by -1).view
-      .map(r => manifest(r))
-      .collectFirst { case m if m.has("seen_base") => m.get("seen_base") }
-    val (basePath, from) = base match {
-      case Some(b) =>
-        (if (b.get("rows").asLong() == 0L) None else Some(b.get("path").asText()),
-          b.get("through").asInt() + 1)
-      case None => (None, 0)
-    }
-    basePath.toSeq ++ (from to round).flatMap { r =>
+    val (base, deltas) = seenLineage(round)
+    val basePath = base.filter(_.get("rows").asLong() > 0L).map(_.get("path").asText())
+    basePath.toSeq ++ deltas.flatMap { r =>
       val t = manifest(r).get("tables").get("seen")
       if (t.get("rows").asLong() == 0L) None else Some(t.get("path").asText())
     }
+  }
+
+  /** Latest compacted base at or before `round` (if any) + the delta rounds
+    * after it. The walk stops at the base, so on an expired catalog (where a
+    * base always sits just above the horizon) it never touches an expired
+    * manifest. */
+  private def seenLineage(round: Int): (Option[JsonNode], Range) = {
+    val base = (round to 0 by -1).view
+      .map(r => manifest(r))
+      .collectFirst { case m if m.has("seen_base") => m.get("seen_base") }
+    val from = base.map(_.get("through").asInt() + 1).getOrElse(0)
+    (base, from to round)
+  }
+
+  /** Cumulative seen rows through `round` from manifest metadata alone: the
+    * latest base records the full history's count, deltas add the rest —
+    * exact, no file reads, and (unlike summing every round's delta) valid on
+    * an expired catalog. */
+  def seenRowsThrough(round: Int): Long = {
+    val (base, deltas) = seenLineage(round)
+    base.map(_.get("rows").asLong()).getOrElse(0L) +
+      deltas.map(r => manifest(r).get("tables").get("seen").get("rows").asLong()).sum
   }
 
   /** Committed seen history as the bucket-partitioning-reporting DSv2 table
@@ -352,9 +380,16 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   def readSeenV2(round: Int, buckets: Int): DataFrame =
     graft.spider.source.SeenSource.load(spark, seenPathsThrough(round), buckets)
 
-  /** Crawled output accumulated through `round` (round 0 commits none). */
+  /** Crawled output accumulated through `round` (round 0 commits none).
+    * Crawled data survives snapshot expiration: rounds at or below the
+    * expiration horizon come from the rollup, later ones from their
+    * manifests (after a crash mid-expiration both may exist on disk; the
+    * split below never double-reads). */
   def readCrawled(round: Int): DataFrame = {
-    val paths = (1 to round).flatMap { r =>
+    val through = expiredThrough
+    val legacy = expiredState.toSeq.flatMap(_.crawled)
+      .collect { case (r, p) if r <= round => p }
+    val paths = legacy ++ (math.max(1, through + 1) to round).flatMap { r =>
       val t = manifest(r).get("tables").get("crawled")
       if (t == null) None else Some(t.get("path").asText())
     }
@@ -365,5 +400,118 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   def readBloom(round: Int): Option[Array[Byte]] = {
     val m = manifest(round)
     if (m.has("bloom")) Some(Files.readAllBytes(Paths.get(m.get("bloom").asText()))) else None
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot expiration (the Iceberg `expire_snapshots` maintenance action)
+  // ------------------------------------------------------------------
+
+  private def expiredPath: Path = snapDir.resolve("expired.json")
+
+  /** Rollup of everything readers still need from expired rounds: the horizon,
+    * the crawled data paths (live output — never deleted), and per-round
+    * counters. One file, replaced atomically on each expiration. */
+  private[state] case class ExpiredState(through: Int,
+      crawled: Seq[(Int, String)], counters: Map[Int, RoundCounters])
+
+  private[state] def expiredState: Option[ExpiredState] = {
+    if (!Files.exists(expiredPath)) return None
+    val n = mapper.readTree(expiredPath.toFile)
+    val crawled = n.get("crawled").elements().asScala
+      .map(c => (c.get("round").asInt(), c.get("path").asText())).toSeq
+    val counters = n.get("counters").elements().asScala.map { c =>
+      val r = c.get("round").asInt()
+      r -> RoundCounters(r,
+        c.get("frontier_in").asLong(), c.get("robots_blocked").asLong(),
+        c.get("dequeued").asLong(), c.get("fetched").asLong(),
+        c.get("fetch_missing").asLong(), c.get("links_extracted").asLong(),
+        c.get("candidates_new").asLong(), c.get("deduped_seen").asLong(),
+        c.get("enqueued").asLong(), c.get("frontier_out").asLong())
+    }.toMap
+    Some(ExpiredState(n.get("through").asInt(), crawled, counters))
+  }
+
+  /** Rounds at or below this are expired: their manifests are gone (or, after
+    * a crash mid-expiration, present but ignored) and their superseded state
+    * dirs deleted; crawled output and counters live on in the rollup. */
+  def expiredThrough: Int = expiredState.map(_.through).getOrElse(-1)
+
+  /** Expire snapshots older than the newest compaction at or before
+    * `latestRound - keepLast + 1` — the IceLite analog of Iceberg's
+    * `expire_snapshots`. Everything a retained round's readers reach stays:
+    * the anchor compaction base covers the expired seen deltas, crawled data
+    * dirs are live output (recorded in the rollup, never deleted), and
+    * counters roll up. What goes: expired manifests, frontier/hoststate
+    * state dirs, seen delta dirs, superseded older bases, and sketch blobs —
+    * so a long crawl's metadata and state-file count is bounded by the
+    * retention window instead of growing with round count.
+    *
+    * Crash-safe by ordering: the rollup is ATOMIC_MOVE-committed FIRST, and
+    * every reader treats rounds ≤ rollup.through as expired regardless of
+    * whether their manifests/dirs were already deleted — a kill between the
+    * rollup commit and the deletes leaves only unreferenced garbage, and
+    * re-running expiration is idempotent. Returns the new horizon, or None
+    * if nothing could be expired (no eligible compaction anchor). */
+  def expireSnapshots(keepLast: Int): Option[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestRound.getOrElse(return None)
+    val oldestKeep = math.max(0, latest - keepLast + 1)
+    val prior = expiredState
+    val curThrough = prior.map(_.through).getOrElse(-1)
+    // Anchor: newest compacted base at or before the retention point. Reads
+    // of any retained round r >= anchor resolve their seen history from a
+    // base >= anchor and never touch an expired manifest.
+    val anchor = (oldestKeep to (curThrough + 1) by -1).find { r =>
+      Files.exists(manifestPath(r)) && manifest(r).has("seen_base")
+    }
+    val horizon = anchor.map(_ - 1).filter(_ > curThrough).getOrElse(return None)
+
+    // 1. Commit the new rollup (old rollup ∪ newly expired rounds).
+    val node = mapper.createObjectNode()
+    node.put("through", horizon)
+    val crawledArr = node.putArray("crawled")
+    prior.toSeq.flatMap(_.crawled).foreach { case (r, p) =>
+      val c = crawledArr.addObject(); c.put("round", r); c.put("path", p)
+    }
+    val countersArr = node.putArray("counters")
+    def addCounters(c: RoundCounters): Unit = {
+      val o = countersArr.addObject()
+      o.put("round", c.round)
+      o.put("frontier_in", c.frontier_in); o.put("robots_blocked", c.robots_blocked)
+      o.put("dequeued", c.dequeued); o.put("fetched", c.fetched)
+      o.put("fetch_missing", c.fetch_missing); o.put("links_extracted", c.links_extracted)
+      o.put("candidates_new", c.candidates_new); o.put("deduped_seen", c.deduped_seen)
+      o.put("enqueued", c.enqueued); o.put("frontier_out", c.frontier_out)
+    }
+    prior.toSeq.flatMap(_.counters.values).foreach(addCounters)
+    ((curThrough + 1) to horizon).foreach { r =>
+      if (Files.exists(manifestPath(r))) {
+        val m = manifest(r)
+        val t = m.get("tables").get("crawled")
+        if (t != null) {
+          val c = crawledArr.addObject(); c.put("round", r); c.put("path", t.get("path").asText())
+        }
+        addCounters(countersOf(r))
+      }
+    }
+    val tmp = snapDir.resolve(".tmp-expired.json")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    Files.move(tmp, expiredPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+
+    // 2. Delete what no retained reader can reach.
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+    (0 to horizon).foreach { r =>
+      Seq("frontier", "hoststate", "seen", "seen_base")
+        .foreach(t => deleteTree(Paths.get(dataDir(t, r))))
+      Files.deleteIfExists(bloomPath(r))
+      Files.deleteIfExists(manifestPath(r))
+    }
+    Some(horizon)
   }
 }

@@ -1,0 +1,89 @@
+package graft.spider.state
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spider.{CrawlDriver, SparkTestBase}
+import graft.spider.core.CrawlConfig
+
+/** Snapshot expiration (the Iceberg `expire_snapshots` analog): old
+  * manifests and superseded state go, every retained reader stays exact,
+  * resume replays identically, and re-expiration is idempotent. */
+class SnapshotExpireSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def crawl(rounds: Int, expireKeep: Int, state: String): CrawlCatalog = {
+    val cfg = CrawlConfig(rounds = rounds, compactSeenEvery = 4,
+      expireKeepLast = expireKeep)
+    CrawlDriver.crawlFromSf(spark, sfDir, cfg, state)
+    new CrawlCatalog(state, spark)
+  }
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.select("url", "round").collect()
+      .map(r => s"${r.getString(0)}@${r.getInt(1)}").sorted.toSeq
+
+  private def seenOf(c: CrawlCatalog, r: Int): Set[Long] =
+    c.readSeen(r).select("url_hash").collect().map(_.getLong(0)).toSet
+
+  // reference: same 10-round crawl, nothing expired
+  private lazy val ref: CrawlCatalog =
+    crawl(10, 0, Files.createTempDirectory("graft-exp-ref-").toString)
+
+  // under test: identical crawl + expireKeepLast=2 → latest=10, retention
+  // point 9, newest compaction ≤ 9 is round 8 → horizon 7
+  private lazy val (expDir, exp): (String, CrawlCatalog) = {
+    val d = Files.createTempDirectory("graft-exp-").toString
+    (d, crawl(10, 2, d))
+  }
+
+  test("expires below the anchor compaction; retained readers stay exact") {
+    assert(exp.expiredThrough == 7)
+    (0 to 7).foreach { r =>
+      assert(!Files.exists(Paths.get(expDir, "snapshots", f"snapshot-$r%05d.json")),
+        s"manifest $r should be expired")
+      assert(!Files.exists(Paths.get(expDir, "frontier", "data", f"r$r%05d")),
+        s"frontier state $r should be deleted")
+      assert(!Files.exists(Paths.get(expDir, "seen", "data", f"r$r%05d")),
+        s"seen delta $r should be deleted")
+    }
+    // the superseded round-4 base is gone, the anchor base at 8 remains
+    assert(!Files.exists(Paths.get(expDir, "seen_base", "data", "r00004")))
+    assert(Files.exists(Paths.get(expDir, "seen_base", "data", "r00008")))
+    (8 to 10).foreach { r =>
+      assert(Files.exists(Paths.get(expDir, "snapshots", f"snapshot-$r%05d.json")))
+    }
+    // crawled data + counters from expired rounds survive via the rollup
+    assert(rowsOf(exp.readCrawled(10)) == rowsOf(ref.readCrawled(10)))
+    assert(seenOf(exp, 10) == seenOf(ref, 10))
+    assert(exp.countersOf(3) == ref.countersOf(3))
+    assert(exp.countersOf(10) == ref.countersOf(10))
+    // time travel below the horizon fails loudly
+    val e = intercept[IllegalStateException](exp.readFrontier(5))
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("resume after expiration replays identically; re-expiration is idempotent") {
+    exp.expiredThrough // force the lazy first crawl + expiration
+    // nothing more to expire at the same retention (anchor unchanged)
+    assert(exp.expireSnapshots(2).isEmpty)
+
+    // resume the EXPIRED catalog to 12 rounds; compare against an
+    // uninterrupted unexpired 12-round crawl
+    val ref12 = crawl(12, 0, Files.createTempDirectory("graft-exp-ref12-").toString)
+    val exp12 = crawl(12, 0, expDir) // resume in place, no further expiration
+    assert(rowsOf(exp12.readCrawled(12)) == rowsOf(ref12.readCrawled(12)))
+    assert(seenOf(exp12, 12) == seenOf(ref12, 12))
+
+    // a later expiration moves the horizon up to the newest eligible base
+    // (round 12 compacted; keepLast=1 → anchor 12 → horizon 11) and the
+    // rollup still carries every expired round's crawled output
+    assert(exp12.expireSnapshots(1).contains(11))
+    assert(exp12.expiredThrough == 11)
+    assert(rowsOf(exp12.readCrawled(12)) == rowsOf(ref12.readCrawled(12)))
+    assert(exp12.countersOf(9) == ref12.countersOf(9))
+  }
+}

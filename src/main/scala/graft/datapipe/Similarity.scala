@@ -107,6 +107,110 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the data-ADAPTIVE scale path. Sign-LSH is
+  // oblivious to the corpus distribution; IVF clusters it: a coarse
+  // quantizer (k-means centroids) assigns every corpus vector to one
+  // inverted list (a narrow int column, exactly like the LSH bucket), and
+  // a query probes only its nProbe nearest lists before the exact cosine
+  // re-rank. The centroid model (nList × dim doubles) is the ONLY
+  // collected/broadcast state — the FAISS IVF-flat shape re-expressed as
+  // Catalyst plans.
+  // ------------------------------------------------------------------
+
+  /** L2-normalize an array column; cosine = plain dot afterwards. */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    transform(v, x => x / n)
+  }
+
+  /** Dot of `vec` against every centroid in the (normalized) literal model:
+    * array<double> of length nList. */
+  private def centroidDots(vec: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedLit(cents), c =>
+      aggregate(zip_with(vec, c, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+
+  /** 0-based nearest-centroid index by cosine (centroids are normalized, and
+    * the vector's own norm is constant across centroids, so argmax dot ==
+    * argmax cosine; ties resolve to the first max — deterministic). */
+  def ivfList(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val dots = centroidDots(vec, cents)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** List count scaled to the corpus: ~targetList vectors per inverted list,
+    * the IVF sizing analog of [[planesFor]]. */
+  def listsFor(corpusRows: Long, targetList: Long = 256L): Int =
+    math.max(4, math.ceil(corpusRows.toDouble / math.max(1L, targetList)).toInt)
+
+  /** Train the coarse quantizer: Lloyd iterations over a DETERMINISTIC
+    * hash-ordered sample (standard IVF practice — the quantizer trains on a
+    * bounded sample, so training cost is independent of corpus size; the
+    * only full-corpus step is the single assignment pass in [[ivfTopK]]).
+    * Every distributed step is a DataFrame plan (posexplode → per-dimension
+    * avg → re-assembled vectors); only the nList×dim model is collected,
+    * because it IS the broadcast model. Empty lists keep their previous
+    * centroid. Fully deterministic: seeded hash ordering, no Random. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, nList: Int,
+      iters: Int = 3, sampleN: Int = 4096): Seq[Seq[Double]] = {
+    require(nList >= 1 && iters >= 0)
+    def renorm(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    val sample = corpus
+      .select(col(idCol).cast("string").as("id"), normalized(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(math.max(sampleN, nList))
+      .cache()
+    var cents: IndexedSeq[Seq[Double]] = sample.select("v").limit(nList).collect()
+      .map(r => r.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
+    require(cents.length == nList,
+      s"corpus sample smaller than nList: ${cents.length} < $nList")
+    (1 to iters).foreach { _ =>
+      val means = sample
+        .withColumn("cid", ivfList(col("v"), cents))
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      cents = cents.indices.map(i => renorm(means.getOrElse(i, cents(i))))
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** IVF top-k: one corpus pass assigns each vector to its inverted list,
+    * the (small, broadcast) query side probes its nProbe nearest lists, and
+    * exact cosine re-ranks the candidates. Lists are disjoint, so no
+    * candidate dedup is needed. Same output shape as [[lshTopK]]. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      cents: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1)
+    val nList = cents.length
+    val cb = corpus.withColumn("ivf_list", ivfList(col(vecCol), cents))
+    // rank the centroid dots on the query side: struct sort on (-dot, i)
+    val dots = centroidDots(col(qvecCol), cents)
+    val ranked = array_sort(zip_with(dots, sequence(lit(0), lit(nList - 1)),
+      (d, i) => struct((-d).as("nd"), i.as("i"))))
+    val qb = queries
+      .withColumn("probe", explode(slice(ranked, 1, math.min(nProbe, nList))))
+      .withColumn("ivf_list", col("probe.i"))
+      .drop("probe")
+    val scored = cb.join(broadcast(qb), Seq("ivf_list"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
     * Exact within-bucket. Buckets larger than `maxBucket` are sub-split with
     * an INDEPENDENT plane family, capping the within-bucket self-join at

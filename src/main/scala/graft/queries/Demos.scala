@@ -477,6 +477,21 @@ object Demos {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-bucketed ANN (the data-ADAPTIVE scale path alongside LSH: coarse
+    // k-means quantizer trained on a deterministic sample, one narrow list
+    // column on the corpus, query probes its nProbe nearest lists; recall
+    // vs brute checked in SimilaritySpec)
+    "embed_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
+      val cents = Similarity.ivfTrain(e, "vec_id", "embedding",
+        nList = Similarity.listsFor(e.count(), targetList = 64))
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5,
+          cents, nProbe = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding near-duplicate pairs (corpus ∪ exact copies); oversized
     // buckets sub-split with an independent plane family (bounded self-join)
     "embed_neardup" -> ((s, dir) => {

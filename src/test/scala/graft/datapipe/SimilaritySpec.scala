@@ -127,6 +127,65 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"clustered-corpus recall $recall")
   }
 
+  test("ivfTopK recall ≥ 0.9 on a clustered corpus; training is deterministic") {
+    import spark.implicits._
+    // same 50-cluster fixture as the LSH clustered test — IVF's home regime:
+    // the quantizer should discover the clusters and a member's true top-5
+    // (its siblings) land in the member's own list.
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    def unit(seed: Long, dim: Int, scale: Double): Array[Float] =
+      (0 until dim).map(d => (mix(seed * 8191 + d).toDouble / Long.MaxValue * scale).toFloat).toArray
+    val dim = 64
+    val rows = for (c <- 0 until 50; m <- 0 until 10) yield {
+      val center = unit(c.toLong + 1, dim, 1.0)
+      val noise = unit(c.toLong * 1000 + m + 7, dim, 0.05)
+      ((c * 10 + m).toLong, center.zip(noise).map { case (a, b) => a + b })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val local = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val nList = Similarity.listsFor(500L, targetList = 32) // ~16 lists
+    val cents = Similarity.ivfTrain(df, "vec_id", "embedding", nList)
+    assert(cents == Similarity.ivfTrain(df, "vec_id", "embedding", nList),
+      "training must be deterministic (seeded hash sample, no Random)")
+    val q = df.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.ivfTopK(df, "vec_id", "embedding", q, "qid", "qvec", 5,
+      cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = local.keys.filter(_ % 10 == 0).flatMap { qid =>
+      local.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(local(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map { case (id, _) => (qid, id) }
+    }.toSet
+    val recall = brute.count(got).toDouble / brute.size
+    info(f"IVF clustered recall@5 = $recall%.3f (nList=$nList, nProbe=4)")
+    assert(recall >= 0.9, s"clustered-corpus IVF recall $recall")
+  }
+
+  test("ivfTopK candidates are correctly scored and every neighbor shares a probed list") {
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nList = 8)
+    val got = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 5,
+      cents, nProbe = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val c = cosine(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(math.abs(c - r.getDouble(2)) < 1e-6)
+    }
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a.getDouble(2) >= b.getDouble(2); case _ => true })
+    }
+  }
+
   test("lshTopK returns correctly-scored, correctly-ranked same-bucket candidates") {
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

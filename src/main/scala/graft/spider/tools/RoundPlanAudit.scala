@@ -1,5 +1,7 @@
 package graft.spider.tools
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -187,6 +189,27 @@ object RoundPlanAudit {
     sb.append(s"- per-bucket file count: base is one file per bucket regardless of round count\n\n")
     require(nCompacted <= 3 && nPlain >= 10,
       s"compaction audit failed: $nCompacted vs $nPlain branches")
+
+    // ---- snapshot expiration audit: metadata bounded by retention ----
+    // expire with keepLast=2 on the same 10-round catalog (anchor = the
+    // round-8 compaction → horizon 7): manifest count drops to the retention
+    // window, crawled output stays byte-complete.
+    val crawledBefore = longCat.readCrawled(10).count()
+    def manifestCount(): Long = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(longState, "snapshots"))
+      try s.iterator().asScala.count(_.getFileName.toString.startsWith("snapshot-"))
+      finally s.close()
+    }
+    val manifestsBefore = manifestCount()
+    val horizon = longCat.expireSnapshots(keepLast = 2)
+    val manifestsAfter = manifestCount()
+    val crawledAfter = longCat.readCrawled(10).count()
+    sb.append("## snapshot expiration after the same 10-round crawl (keepLast=2)\n\n")
+    sb.append(s"- expired through round: **${horizon.getOrElse(-1)}**\n")
+    sb.append(s"- snapshot manifests: $manifestsBefore → **$manifestsAfter** (bounded by retention, not round count)\n")
+    sb.append(s"- crawled rows through round 10: $crawledBefore → $crawledAfter (identical — output survives in the rollup)\n\n")
+    require(horizon.contains(7) && manifestsAfter == 3 && crawledAfter == crawledBefore,
+      s"expiration audit failed: horizon=$horizon manifests=$manifestsAfter crawled=$crawledAfter/$crawledBefore")
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
     println(s"wrote $outFile")

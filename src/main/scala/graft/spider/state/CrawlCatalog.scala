@@ -464,7 +464,26 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     val anchor = (oldestKeep to (curThrough + 1) by -1).find { r =>
       Files.exists(manifestPath(r)) && manifest(r).has("seen_base")
     }
-    val horizon = anchor.map(_ - 1).filter(_ > curThrough).getOrElse(return None)
+    def sweep(through: Int): Unit = {
+      def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+      (0 to through).foreach { r =>
+        Seq("frontier", "hoststate", "seen", "seen_base")
+          .foreach(t => deleteTree(Paths.get(dataDir(t, r))))
+        Files.deleteIfExists(bloomPath(r))
+        Files.deleteIfExists(manifestPath(r))
+      }
+    }
+    val horizon = anchor.map(_ - 1).filter(_ > curThrough).getOrElse {
+      // No new horizon, but a crash between a previous rollup commit and its
+      // deletes may have left garbage below the committed horizon — sweep it.
+      if (curThrough >= 0) sweep(curThrough)
+      return None
+    }
 
     // 1. Commit the new rollup (old rollup ∪ newly expired rounds).
     val node = mapper.createObjectNode()
@@ -500,18 +519,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       StandardCopyOption.REPLACE_EXISTING)
 
     // 2. Delete what no retained reader can reach.
-    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
-    (0 to horizon).foreach { r =>
-      Seq("frontier", "hoststate", "seen", "seen_base")
-        .foreach(t => deleteTree(Paths.get(dataDir(t, r))))
-      Files.deleteIfExists(bloomPath(r))
-      Files.deleteIfExists(manifestPath(r))
-    }
+    sweep(horizon)
     Some(horizon)
   }
 }

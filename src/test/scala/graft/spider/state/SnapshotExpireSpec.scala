@@ -66,6 +66,46 @@ class SnapshotExpireSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("crash between rollup commit and deletes: readers exact, re-run sweeps the garbage") {
+    // Build the crash state directly: crawl, back up, expire for real, then
+    // restore the deleted manifests + state dirs from the backup — exactly
+    // what a kill after the rollup's ATOMIC_MOVE leaves behind.
+    val dir = Files.createTempDirectory("graft-exp-crash-").toString
+    val cat = crawl(10, 0, dir)
+    val backup = Files.createTempDirectory("graft-exp-crash-bak-").toString
+    def copyTree(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      val s = Files.walk(src)
+      try s.forEach { p =>
+        val t = Paths.get(to).resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      } finally s.close()
+    }
+    copyTree(dir, backup)
+    assert(cat.expireSnapshots(2).contains(7))
+    // restore everything the sweep deleted (rollup stays) = the crash state
+    (0 to 7).foreach { r =>
+      val m = f"snapshots/snapshot-$r%05d.json"
+      Files.copy(Paths.get(backup, m), Paths.get(dir, m))
+      Seq("frontier", "hoststate", "seen").foreach { t =>
+        val d = f"$t/data/r$r%05d"
+        if (Files.exists(Paths.get(backup, d))) copyTree(s"$backup/$d", s"$dir/$d")
+      }
+    }
+    // readers must not double-read rounds below the committed horizon
+    assert(cat.expiredThrough == 7)
+    assert(rowsOf(cat.readCrawled(10)) == rowsOf(ref.readCrawled(10)))
+    assert(seenOf(cat, 10) == seenOf(ref, 10))
+    // a re-run advances nothing but sweeps the stale garbage
+    assert(cat.expireSnapshots(2).isEmpty)
+    (0 to 7).foreach { r =>
+      assert(!Files.exists(Paths.get(dir, f"snapshots/snapshot-$r%05d.json")))
+      assert(!Files.exists(Paths.get(dir, f"seen/data/r$r%05d")))
+    }
+    assert(rowsOf(cat.readCrawled(10)) == rowsOf(ref.readCrawled(10)))
+  }
+
   test("resume after expiration replays identically; re-expiration is idempotent") {
     exp.expiredThrough // force the lazy first crawl + expiration
     // nothing more to expire at the same retention (anchor unchanged)

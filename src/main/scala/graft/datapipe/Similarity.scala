@@ -26,10 +26,12 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Exact brute-force cosine top-k. `queries` must be small (broadcast). */
-  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+  /** The shared exact re-rank tail of every top-k variant (brute, LSH, IVF):
+    * drop self-matches, exact cosine, per-query rank window (ties broken by
+    * ascending id — deterministic), top-k, canonical output shape. */
+  private def rerankTopK(candidates: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val scored = candidates
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(qidCol)
@@ -39,6 +41,12 @@ object Similarity {
       .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** Exact brute-force cosine top-k. `queries` must be small (broadcast). */
+  def bruteTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int): DataFrame =
+    rerankTopK(corpus.crossJoin(broadcast(queries)),
+      idCol, vecCol, qidCol, qvecCol, k)
 
   /** Deterministic pseudo-random hyperplanes (seeded splitmix; no wall
     * clock / Random in the data path). `seedOffset` selects an independent
@@ -94,17 +102,10 @@ object Similarity {
         (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1 << i)))
       else Nil)
     val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
-      .filter(col(qidCol) =!= col(idCol))
+    val candidates = cb.join(broadcast(qb), Seq("bucket"))
       // a candidate can arrive via several probes — dedup before ranking
       .dropDuplicates(qidCol, idCol)
-      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        col("cosine"), col("rank"))
+    rerankTopK(candidates, idCol, vecCol, qidCol, qvecCol, k)
   }
 
   // ------------------------------------------------------------------
@@ -200,15 +201,9 @@ object Similarity {
       .withColumn("probe", explode(slice(ranked, 1, math.min(nProbe, nList))))
       .withColumn("ivf_list", col("probe.i"))
       .drop("probe")
-    val scored = cb.join(broadcast(qb), Seq("ivf_list"))
-      .filter(col(qidCol) =!= col(idCol))
-      .withColumn("cosine", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("cosine").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol).as("query_id"), col(idCol).as("neighbor_id"),
-        col("cosine"), col("rank"))
+    // lists are disjoint per query, so no candidate dedup is needed
+    rerankTopK(cb.join(broadcast(qb), Seq("ivf_list")),
+      idCol, vecCol, qidCol, qvecCol, k)
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.

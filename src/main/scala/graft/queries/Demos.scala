@@ -73,7 +73,8 @@ object Demos {
   def prewarm(s: SparkSession, dir: String): Unit = {
     pages(s, dir)
     sharedCrawl(s, dir)
-    ()
+    bucketedPages(s, dir) // the one-time CorpusStore write is fixture setup,
+    ()                    // not what the corpus_bucketed demo measures
   }
 
   /** The DuckDB-side url expression for the synthesized corpus. */

@@ -68,7 +68,11 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   }
 
   def manifest(round: Int): JsonNode = {
-    if (!Files.exists(manifestPath(round)) && round <= expiredThrough)
+    // Unconditional horizon guard (not just when the file is missing): a
+    // crash mid-sweep can leave a below-horizon manifest on disk with its
+    // state dirs already gone — readable-but-broken. The rollup's `through`
+    // is the single source of truth for what is expired.
+    if (round <= expiredThrough)
       throw new IllegalStateException(
         s"snapshot $round is expired (horizon $expiredThrough): only crawled " +
           "data and counters survive expiration — see expireSnapshots")
@@ -233,17 +237,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       pn.put("bloom_expected_items", params.bloomExpectedItems)
       pn.put("bloom_fpp", params.bloomFpp)
 
-      val c: ObjectNode = node.putObject("counters")
-      c.put("frontier_in", counters.frontier_in)
-      c.put("robots_blocked", counters.robots_blocked)
-      c.put("dequeued", counters.dequeued)
-      c.put("fetched", counters.fetched)
-      c.put("fetch_missing", counters.fetch_missing)
-      c.put("links_extracted", counters.links_extracted)
-      c.put("candidates_new", counters.candidates_new)
-      c.put("deduped_seen", counters.deduped_seen)
-      c.put("enqueued", counters.enqueued)
-      c.put("frontier_out", counters.frontier_out)
+      countersToJson(node.putObject("counters"), counters)
 
       val tmp = snapDir.resolve(s".tmp-snapshot-$round.json")
       Files.writeString(tmp,
@@ -285,19 +279,28 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
 
   def countersOf(round: Int): RoundCounters = {
     // expired rounds keep their counters in the expiration rollup
-    if (!Files.exists(manifestPath(round))) {
-      expiredState.flatMap(_.counters.get(round)) match {
-        case Some(c) => return c
-        case None => // fall through: manifest() raises the clear error
-      }
-    }
-    val c = manifest(round).get("counters")
-    RoundCounters(round,
-      c.get("frontier_in").asLong(), c.get("robots_blocked").asLong(),
-      c.get("dequeued").asLong(), c.get("fetched").asLong(),
-      c.get("fetch_missing").asLong(), c.get("links_extracted").asLong(),
-      c.get("candidates_new").asLong(), c.get("deduped_seen").asLong(),
-      c.get("enqueued").asLong(), c.get("frontier_out").asLong())
+    if (round <= expiredThrough)
+      return expiredState.flatMap(_.counters.get(round)).getOrElse(
+        throw new IllegalStateException(s"no rollup counters for expired round $round"))
+    countersFromJson(manifest(round).get("counters"), round)
+  }
+
+  /** The ten per-round counter fields — the ONE list every counters-JSON
+    * writer/reader (manifest `counters` object, expiration rollup) shares,
+    * so a new counter cannot silently diverge between them. */
+  private val counterFields: Seq[(String, RoundCounters => Long)] = Seq(
+    "frontier_in" -> (_.frontier_in), "robots_blocked" -> (_.robots_blocked),
+    "dequeued" -> (_.dequeued), "fetched" -> (_.fetched),
+    "fetch_missing" -> (_.fetch_missing), "links_extracted" -> (_.links_extracted),
+    "candidates_new" -> (_.candidates_new), "deduped_seen" -> (_.deduped_seen),
+    "enqueued" -> (_.enqueued), "frontier_out" -> (_.frontier_out))
+
+  private def countersToJson(o: ObjectNode, c: RoundCounters): Unit =
+    counterFields.foreach { case (name, get) => o.put(name, get(c)) }
+
+  private def countersFromJson(n: JsonNode, round: Int): RoundCounters = {
+    val v = counterFields.map { case (name, _) => n.get(name).asLong() }
+    RoundCounters(round, v(0), v(1), v(2), v(3), v(4), v(5), v(6), v(7), v(8), v(9))
   }
 
   def readFrontier(round: Int): DataFrame =
@@ -414,26 +417,35 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   private[state] case class ExpiredState(through: Int,
       crawled: Seq[(Int, String)], counters: Map[Int, RoundCounters])
 
-  private[state] def expiredState: Option[ExpiredState] = {
+  /** Cached per catalog instance: the rollup is immutable between
+    * expirations (which refresh the cache after their atomic commit), and
+    * readers — including the hot `manifest()` horizon guard — consult it on
+    * every call. A fresh `CrawlCatalog` re-reads it from disk. */
+  @volatile private var expiredCache: Option[Option[ExpiredState]] = None
+
+  private[state] def expiredState: Option[ExpiredState] = expiredCache match {
+    case Some(v) => v
+    case None =>
+      val loaded = loadExpired()
+      expiredCache = Some(loaded)
+      loaded
+  }
+
+  private def loadExpired(): Option[ExpiredState] = {
     if (!Files.exists(expiredPath)) return None
     val n = mapper.readTree(expiredPath.toFile)
     val crawled = n.get("crawled").elements().asScala
       .map(c => (c.get("round").asInt(), c.get("path").asText())).toSeq
-    val counters = n.get("counters").elements().asScala.map { c =>
-      val r = c.get("round").asInt()
-      r -> RoundCounters(r,
-        c.get("frontier_in").asLong(), c.get("robots_blocked").asLong(),
-        c.get("dequeued").asLong(), c.get("fetched").asLong(),
-        c.get("fetch_missing").asLong(), c.get("links_extracted").asLong(),
-        c.get("candidates_new").asLong(), c.get("deduped_seen").asLong(),
-        c.get("enqueued").asLong(), c.get("frontier_out").asLong())
-    }.toMap
+    val counters = n.get("counters").elements().asScala
+      .map(c => countersFromJson(c, c.get("round").asInt()))
+      .map(c => c.round -> c).toMap
     Some(ExpiredState(n.get("through").asInt(), crawled, counters))
   }
 
   /** Rounds at or below this are expired: their manifests are gone (or, after
-    * a crash mid-expiration, present but ignored) and their superseded state
-    * dirs deleted; crawled output and counters live on in the rollup. */
+    * a crash mid-expiration, possibly present but ignored) and their
+    * superseded state dirs deleted; crawled output and counters live on in
+    * the rollup. */
   def expiredThrough: Int = expiredState.map(_.through).getOrElse(-1)
 
   /** Expire snapshots older than the newest compaction at or before
@@ -496,11 +508,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     def addCounters(c: RoundCounters): Unit = {
       val o = countersArr.addObject()
       o.put("round", c.round)
-      o.put("frontier_in", c.frontier_in); o.put("robots_blocked", c.robots_blocked)
-      o.put("dequeued", c.dequeued); o.put("fetched", c.fetched)
-      o.put("fetch_missing", c.fetch_missing); o.put("links_extracted", c.links_extracted)
-      o.put("candidates_new", c.candidates_new); o.put("deduped_seen", c.deduped_seen)
-      o.put("enqueued", c.enqueued); o.put("frontier_out", c.frontier_out)
+      countersToJson(o, c)
     }
     prior.toSeq.flatMap(_.counters.values).foreach(addCounters)
     ((curThrough + 1) to horizon).foreach { r =>
@@ -517,6 +525,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     Files.move(tmp, expiredPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    expiredCache = Some(loadExpired()) // readers see the new horizon at once
 
     // 2. Delete what no retained reader can reach.
     sweep(horizon)

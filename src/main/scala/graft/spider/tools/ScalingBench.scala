@@ -127,9 +127,11 @@ object ScalingBench {
           val t = CorpusStore.open(spark, dir)
           // decode-warm the vectorized reader on ONE part file (JIT for the
           // timed scans without a full pre-timed pass over the corpus)
-          val one = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-            .iterator().asScala.map(_.toString)
-            .filter(f => f.contains("part-") && f.endsWith(".parquet")).take(1).toSeq
+          val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+          val one =
+            try ls.iterator().asScala.map(_.toString)
+              .filter(f => f.contains("part-") && f.endsWith(".parquet")).take(1).toSeq
+            finally ls.close()
           one.foreach(f => spark.read.parquet(f)
             .agg(sum(length(col("html")))).collect())
           t

@@ -125,6 +125,12 @@ object ScalingBench {
               dir, sys.env.getOrElse("GRAFT_CORPUS_BUCKETS", "16").toInt)
           }
           val t = CorpusStore.open(spark, dir)
+          // Guard against a stale dir silently changing the workload: the
+          // opened table must be exactly this run's (sfDir, replicate) shape.
+          val expectRows = PagesSynth.documents(spark, sfDir).count() * replicate
+          require(CorpusStore.rowCount(dir) == expectRows,
+            s"corpus at $dir has ${CorpusStore.rowCount(dir)} rows; " +
+              s"this run expects $expectRows ($sfDir × $replicate) — stale dir?")
           // decode-warm the vectorized reader on ONE part file (JIT for the
           // timed scans without a full pre-timed pass over the corpus)
           val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))

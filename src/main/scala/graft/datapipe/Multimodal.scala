@@ -136,14 +136,16 @@ object Multimodal {
     }
     if (dim > 0) out(0) = (math.sqrt(sq / s.length) / 32768.0).toFloat
     if (dim > 1) out(1) = zc.toFloat / s.length
-    val env = math.max(1, dim - 2)
-    i = 0
-    while (i < s.length) {
-      out(2 + i * env / s.length) += math.abs(s(i).toInt).toFloat
-      i += 1
+    if (dim > 2) { // envelope only fits when dims remain (mirrors bmpFeatures)
+      val env = dim - 2
+      i = 0
+      while (i < s.length) {
+        out(2 + i * env / s.length) += math.abs(s(i).toInt).toFloat
+        i += 1
+      }
+      var j = 2
+      while (j < dim) { out(j) /= (s.length.toFloat / env) * 32768f; j += 1 }
     }
-    var j = 2
-    while (j < dim) { out(j) /= (s.length.toFloat / env) * 32768f; j += 1 }
     out
   }
 

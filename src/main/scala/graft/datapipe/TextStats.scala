@@ -39,7 +39,6 @@ object TextStats {
     val frD = length(text) - length(regexp_replace(text, "[àâçéèêëîïôùûœ]", ""))
     val esD = length(text) - length(regexp_replace(text, "[áéíóúñ¿¡]", ""))
     val deD = length(text) - length(regexp_replace(text, "[äöüß]", ""))
-    val best = hits("fr") * 2 + frD
     when(cjkShare > 0.15, lit("zh"))
       .when(hits("fr") + frD > hits("en") && hits("fr") + frD >= hits("es") + esD &&
         hits("fr") + frD >= hits("de") + deD && (hits("fr") + frD) > 0, lit("fr"))
@@ -48,7 +47,7 @@ object TextStats {
       .when(hits("de") + deD > hits("en") && (hits("de") + deD) > 0, lit("de"))
       .when(hits("en") > 0, lit("en"))
       .otherwise(lit("und")) // undetermined
-      .as("lang_pred") // note: `best` kept out of the plan
+      .as("lang_pred")
   }
 
   /** Quality features + composite score for filtering. All components are

@@ -43,13 +43,16 @@ object CrawlDriver {
 
     val catalog = new CrawlCatalog(stateDir, spark)
     val params = sketchParamsOf(cfg)
-    if (cfg.seenDsv2) {
-      // storage-partitioned join over the DSv2 seen reader: group by the
-      // reported bucket partitioning and allow shuffling the (small)
-      // candidate side into it
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-    }
+    // storage-partitioned join over the DSv2 seen reader: group by the
+    // reported bucket partitioning and allow shuffling the (small)
+    // candidate side into it. Session-global planner settings — saved here
+    // and restored in the finally below so the crawl does not leak them
+    // into the caller's unrelated queries.
+    val bucketingKeys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+    val priorBucketing = bucketingKeys.map(k => k -> spark.conf.getOption(k))
+    if (cfg.seenDsv2) bucketingKeys.foreach(spark.conf.set(_, "true"))
+    try {
     val robotsDf = robots.toDF().persist()
     // materialize once; the exact count picks broadcast vs host-shuffle for
     // the per-round robots gate
@@ -232,6 +235,12 @@ object CrawlDriver {
     // catalog's metadata/state-file count by the retention window.
     if (cfg.expireKeepLast > 0) catalog.expireSnapshots(cfg.expireKeepLast)
     catalog
+    } finally {
+      priorBucketing.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
   }
 
   /** Convenience: synthesize the corpus fixtures from `sfDir`, crawl, return

@@ -436,11 +436,15 @@ object CrawlEngine {
     // both checkpoint leaves are compiled — another 1.4-1.7 s of Catalyst
     // analysis chained off the round's pool work instead of the next
     // round's head. NOT awaited here (the driver awaits at round r+1
-    // start, by when it has long finished). The bound is a deliberate
-    // overestimate: |frontier(r+1)| ≤ |frontier(r)| + links(r) ≤ bound,
-    // links(r) estimated as 4× the previous round's — an overestimate can
-    // only flip a strategy toward the shuffle path (the at-scale-correct
-    // one); exactness is never at stake.
+    // start, by when it has long finished). The bound is frontierOutBound =
+    // (eligibleN − dequeuedN) + linksN, exact facts of THIS round by the
+    // time this future runs — a GUARANTEED overestimate of |frontier(r+1)|
+    // = residual + enqueued, since enqueued ≤ links. (The earlier
+    // `frontierInBound + 4·prevLinks` heuristic under-reported when links
+    // grew >4× round-over-round, which could flip the fetch join toward
+    // broadcasting a frontier-scale side — the dangerous direction.) An
+    // overestimate can only flip a strategy toward the shuffle path, the
+    // at-scale-correct one; exactness is never at stake.
     val nextDequeueF: Future[Option[DequeueFrames]] =
       if (round >= cfg.rounds || !cfg.pipelinedCommits) Future.successful(None)
       else for {
@@ -448,7 +452,7 @@ object CrawlEngine {
         residualCkpt <- residualCkptF
       } yield {
         val fn = residualCkpt.unionByName(newCkpt)
-        val nextBound = frontierInBound + 4L * math.max(prevLinksN, 1000L)
+        val nextBound = (eligibleN - dequeuedN) + linksN
         Some(buildDequeue(spark, pages, robots, fn, round + 1, cfg, nextBound, robotsRows))
       }
 

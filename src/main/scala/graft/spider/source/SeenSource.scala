@@ -9,6 +9,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.api.ReadSupport
 import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -18,6 +19,23 @@ import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning,
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Java-serializable Hadoop `Configuration` carrier: the session's conf is
+  * captured once on the driver (at scan-build time) and shipped to the
+  * partition readers, so the DSv2 seen reader honors session filesystem
+  * settings exactly like `CrawlCatalog.writeTable` (which uses
+  * `spark.sessionState.newHadoopConf()`) instead of a bare default conf. */
+class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
 
 /** DataSource-v2 reader over the IceLite bucketed `seen` layout (VERDICT r2
   * task #3; SURVEY.md §2.1 S5/§4.4).
@@ -61,8 +79,14 @@ class SeenSource extends TableProvider {
 object SeenSource {
   val PathsKey = "seenpaths"
   val BucketsKey = "buckets"
+  /** `url_hash`/`url` are declared nullable because the reader CAN emit
+    * null for a data column a file stores as optional-absent — declaring
+    * non-nullable while emitting null is undefined behavior under codegen
+    * (engine-written files never do this, but the schema must cover what
+    * the reader can produce). `seen_bucket` comes from the directory name,
+    * never null. */
   val schema: StructType = StructType(Seq(
-    StructField("url_hash", LongType, nullable = false),
+    StructField("url_hash", LongType, nullable = true),
     StructField("url", StringType, nullable = true),
     StructField("seen_bucket", IntegerType, nullable = false)))
 
@@ -83,10 +107,13 @@ class SeenTable(paths: Seq[String], buckets: Int) extends Table with SupportsRea
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeenScanBuilder(paths, buckets)
+    // capture the SESSION hadoop conf here (driver side, active session) —
+    // both the driver-side file listing and the executor-side readers use it
+    new SeenScanBuilder(paths, buckets,
+      new SerializableHadoopConf(SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class SeenScanBuilder(paths: Seq[String], buckets: Int)
+class SeenScanBuilder(paths: Seq[String], buckets: Int, conf: SerializableHadoopConf)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = SeenSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -94,10 +121,11 @@ class SeenScanBuilder(paths: Seq[String], buckets: Int)
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(SeenSource.schema.filter(f => keep.contains(f.name)))
   }
-  override def build(): Scan = new SeenScan(paths, buckets, required)
+  override def build(): Scan = new SeenScan(paths, buckets, required, conf)
 }
 
-class SeenScan(paths: Seq[String], buckets: Int, required: StructType)
+class SeenScan(paths: Seq[String], buckets: Int, required: StructType,
+    conf: SerializableHadoopConf)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
@@ -113,11 +141,10 @@ class SeenScan(paths: Seq[String], buckets: Int, required: StructType)
     * the key set is total — the partitioning contract is one group per
     * bucket value. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
     val byBucket = Array.fill(buckets)(Vector.newBuilder[String])
     paths.foreach { dir =>
       val root = new Path(dir)
-      val fs = root.getFileSystem(conf)
+      val fs = root.getFileSystem(conf.value)
       fs.listStatus(root).foreach { st: FileStatus =>
         val n = st.getPath.getName
         if (st.isDirectory && n.startsWith("seen_bucket=")) {
@@ -133,7 +160,7 @@ class SeenScan(paths: Seq[String], buckets: Int, required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeenReaderFactory(required.fieldNames)
+    new SeenReaderFactory(required.fieldNames, conf)
 }
 
 case class SeenInputPartition(bucket: Int, files: Seq[String])
@@ -141,17 +168,19 @@ case class SeenInputPartition(bucket: Int, files: Seq[String])
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](bucket))
 }
 
-class SeenReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+class SeenReaderFactory(columns: Array[String], conf: SerializableHadoopConf)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SeenInputPartition]
-    new SeenPartitionReader(p.bucket, p.files, columns)
+    new SeenPartitionReader(p.bucket, p.files, columns, conf)
   }
 }
 
 /** Streams the bucket's files through parquet-hadoop's record reader,
   * projecting to the requested data columns (parquet read-schema pushdown —
   * a key-only probe decodes just `url_hash`). */
-class SeenPartitionReader(bucket: Int, files: Seq[String], columns: Array[String])
+class SeenPartitionReader(bucket: Int, files: Seq[String], columns: Array[String],
+    conf: SerializableHadoopConf)
   extends PartitionReader[InternalRow] {
 
   private val dataCols = columns.filter(_ != "seen_bucket")
@@ -172,7 +201,7 @@ class SeenPartitionReader(bucket: Int, files: Seq[String], columns: Array[String
     c
   }
 
-  private val baseConf = new Configuration()
+  private val baseConf = conf.value
   private val fileIter = files.iterator
   private var reader: ParquetReader[org.apache.parquet.example.data.Group] = _
   private var current: org.apache.parquet.example.data.Group = _

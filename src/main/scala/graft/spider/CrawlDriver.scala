@@ -184,12 +184,6 @@ object CrawlDriver {
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
         frontierInBound, pc.stage, robotsRows, prevLinksN, prebuilt)
-      // Periodic seen compaction rides this round's commit: full history
-      // through r = this round's input (through r-1) ∪ this round's delta,
-      // all already persisted/checkpointed frames, so the rewrite drains on
-      // a pool thread alongside the delta writes.
-      if (cfg.compactSeenEvery > 0 && r % cfg.compactSeenEvery == 0)
-        pc.stageSeenBase(seen.scanAll.unionByName(out.seenDelta))
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta
@@ -217,6 +211,13 @@ object CrawlDriver {
         retired.foreach(cleanup)
         retired = Some(p.out)
       }
+      // Periodic INCREMENTAL seen compaction rides this round's commit:
+      // staged only now — after the previous round's manifest landed —
+      // because the compaction planner reads committed lineage through
+      // round r-1; it folds this round's delta by chaining off its staged
+      // write and drains on a pool thread like the other table writes.
+      if (cfg.compactSeenEvery > 0 && r % cfg.compactSeenEvery == 0)
+        pc.stageSeenCompaction(cfg.compactMaxFilesPerBucket)
       if (cfg.pipelinedCommits && r < cfg.rounds) {
         pending = Some(Pend(r, pc, out, roundF))
       } else {

@@ -114,13 +114,23 @@ case class CrawlConfig(
       * either way. */
     seenDsv2: Boolean = true,
     /** Compact the seen history every K rounds (0 = off): round r ≡ 0 mod K
-      * additionally commits `seen_base` = the full bucketed seen set through
-      * r, rewritten as one file per bucket, so the membership probe reads
-      * O(1 + rounds mod K) file sets instead of one per round — at hundreds
-      * of rounds the probe plan's branch count and the per-bucket small-file
-      * count stay bounded. Pure layout: results are invariant (equivalence
-      * test pins compaction on ≡ off). */
+      * additionally commits `seen_base` = a complete bucketed base through
+      * r, so the membership probe reads O(1 + rounds mod K) file sets
+      * instead of one per round — at hundreds of rounds the probe plan's
+      * branch count and the per-bucket small-file count stay bounded. The
+      * compaction is INCREMENTAL (Iceberg bin-pack model): only buckets
+      * whose file count crossed `compactMaxFilesPerBucket` are rewritten;
+      * the rest carry forward by reference — compaction I/O per commit is
+      * O(touched buckets' rows), not O(full history). Pure layout: results
+      * are invariant (equivalence test pins compaction on ≡ off). */
     compactSeenEvery: Int = 8,
+    /** Per-bucket file-count threshold for the incremental compaction: a
+      * bucket accumulating this many files (its base file plus one delta
+      * file per round that touched it) is bin-packed back to one file; below
+      * it the bucket's files are carried into the new base by reference
+      * (hard link — no data I/O). Bounds every bucket's file count (probe
+      * cost) while sparing cold buckets the O(bucket-history) rewrite. */
+    compactMaxFilesPerBucket: Int = 4,
     /** After the crawl, expire snapshots older than the newest compaction at
       * or before `latest - expireKeepLast + 1` (0 = keep everything) — the
       * Iceberg `expire_snapshots` maintenance action. Crawled output and

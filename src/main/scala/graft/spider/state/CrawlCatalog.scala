@@ -103,44 +103,147 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
     (if (partitioned) w.partitionBy("seen_bucket") else w).parquet(dir)
 
+    if (partitioned) bucketLineage(dir)
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      val rootPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = rootPath.getFileSystem(conf)
+      val files = fs.listStatus(rootPath)
+        .filter(st => st.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName).toSeq
+      val parts = inParallel(files) { st =>
+        val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
+        (pid, footerRows(st, conf))
+      }
+      (parts.map(_._2).sum, parts)
+    }
+  }
+
+  private def footerRows(st: org.apache.hadoop.fs.FileStatus,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
+  // Footer reads are tiny but each costs a sandboxed FS round trip —
+  // fan them out (bucketed tables have one file per bucket).
+  private def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+  }
+
+  /** Per-bucket (rows) lineage of a `seen_bucket=`-partitioned dir from the
+    * parquet footers — driver-side metadata only, shared by the delta write
+    * path and the incremental compaction. */
+  private def bucketLineage(dir: String): (Long, Seq[(Int, Long)]) = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(dir)
     val fs = rootPath.getFileSystem(conf)
-    def rowsOf(st: org.apache.hadoop.fs.FileStatus): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try reader.getRecordCount finally reader.close()
+    val bdirs = fs.listStatus(rootPath)
+      .filter(_.getPath.getName.startsWith("seen_bucket="))
+      .sortBy(_.getPath.getName).toSeq
+    val parts = inParallel(bdirs) { bdir =>
+      val bucket = bdir.getPath.getName.stripPrefix("seen_bucket=").toInt
+      val rows = fs.listStatus(bdir.getPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(footerRows(_, conf)).sum
+      (bucket, rows)
     }
-    // Footer reads are tiny but each costs a sandboxed FS round trip —
-    // fan them out (bucketed tables have one file per bucket).
-    def inParallel[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.traverse(xs)(x => Future(f(x))), Duration.Inf)
+    (parts.map(_._2).sum, parts)
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(f => Files.deleteIfExists(f))
+    finally s.close()
+  }
+
+  /** INCREMENTAL seen compaction (the Iceberg bin-pack model): build
+    * `seen_base/data/r<round>` — a complete bucketed base through `round` —
+    * from the previous base plus the delta file sets after it (including
+    * this round's just-written delta). Per bucket:
+    *
+    *   - accumulated file count ≥ `maxFilesPerBucket` → REWRITE: the bucket's
+    *     rows are bin-packed to one consolidated file by a partition-PRUNED
+    *     Spark job over just the rewritten buckets (PartitionFilters on
+    *     `seen_bucket`) — compaction I/O is O(touched buckets' rows), never
+    *     O(full history);
+    *   - below the threshold → CARRY FORWARD: the bucket's existing files are
+    *     hard-linked into the new base — metadata-only, zero data I/O (the
+    *     local-FS analog of an Iceberg manifest entry referencing an existing
+    *     data file; falls back to a copy on filesystems without links).
+    *
+    * Per-bucket file count is therefore bounded by the threshold, the probe
+    * plan still reads ONE base dir + the deltas since (branch count
+    * O(rounds mod compactSeenEvery)), and a bucket that stops receiving
+    * deltas is never rewritten again. Atomicity is the usual IceLite story:
+    * a kill mid-compaction leaves a torn data dir with no manifest entry —
+    * invisible; the next compaction attempt clears it first. */
+  private def compactSeen(round: Int, maxFilesPerBucket: Int): (Long, Seq[(Int, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")
+    val target = Paths.get(dataDir("seen_base", round))
+    deleteTree(target) // torn previous attempt (kill mid-compaction)
+    def listDir(p: Path): Seq[Path] = {
+      if (!Files.isDirectory(p)) return Nil
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
     }
-    val parts: Seq[(Int, Long)] =
-      if (!partitioned) {
-        val files = fs.listStatus(rootPath)
-          .filter(st => st.getPath.getName.startsWith("part-"))
-          .sortBy(_.getPath.getName).toSeq
-        inParallel(files) { st =>
-          val pid = st.getPath.getName.stripPrefix("part-").takeWhile(_.isDigit).toInt
-          (pid, rowsOf(st))
+    val sources = (seenPathsThrough(round - 1) :+ dataDir("seen", round))
+      .map(Paths.get(_)).filter(Files.isDirectory(_))
+    val byBucket = scala.collection.mutable.SortedMap[Int, Vector[Path]]()
+    val contributing = Vector.newBuilder[Path]
+    sources.foreach { src =>
+      var any = false
+      listDir(src).filter(_.getFileName.toString.startsWith("seen_bucket=")).foreach { bdir =>
+        val b = bdir.getFileName.toString.stripPrefix("seen_bucket=").toInt
+        val files = listDir(bdir).filter { f =>
+          val n = f.getFileName.toString
+          n.startsWith("part-") && Files.size(f) > 0
         }
-      } else {
-        val bdirs = fs.listStatus(rootPath)
-          .filter(_.getPath.getName.startsWith("seen_bucket="))
-          .sortBy(_.getPath.getName).toSeq
-        inParallel(bdirs) { bdir =>
-          val bucket = bdir.getPath.getName.stripPrefix("seen_bucket=").toInt
-          val rows = fs.listStatus(bdir.getPath)
-            .filter(_.getPath.getName.startsWith("part-"))
-            .map(rowsOf).sum
-          (bucket, rows)
+        if (files.nonEmpty) {
+          byBucket(b) = byBucket.getOrElse(b, Vector.empty) ++ files
+          any = true
         }
       }
-    (parts.map(_._2).sum, parts)
+      if (any) contributing += src // a drained round's delta dir holds no
+      // bucket dirs at all — reading it would fail schema inference
+    }
+    val (rewrite, carry) = byBucket.toSeq.partition(_._2.size >= maxFilesPerBucket)
+    Files.createDirectories(target)
+    if (rewrite.nonEmpty) {
+      // ONE partition-pruned job over just the rewritten buckets: each
+      // source dir is read under its own basePath so `seen_bucket` resolves
+      // as a partition column and the isin filter prunes untouched buckets
+      // at the scan; repartition(seen_bucket) → one file per bucket.
+      val touched = rewrite.map(_._1)
+      val all = contributing.result()
+        .map(src => spark.read.option("basePath", src.toString).parquet(src.toString))
+        .reduce(_.unionByName(_))
+        .filter(col("seen_bucket").isin(touched: _*))
+      all.repartition(col("seen_bucket"))
+        .write.mode("append") // into the fresh empty target
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .partitionBy("seen_bucket").parquet(target.toString)
+    }
+    carry.foreach { case (b, files) =>
+      val bdir = target.resolve(s"seen_bucket=$b")
+      Files.createDirectories(bdir)
+      files.foreach { f =>
+        val dst = bdir.resolve(f.getFileName.toString)
+        Files.deleteIfExists(dst)
+        try Files.createLink(dst, f)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    }
+    bucketLineage(target.toString)
   }
 
   /** A staged commit for one round: `stage` launches the table write on a
@@ -157,23 +260,26 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       scala.collection.concurrent.TrieMap[String, Future[(Long, Seq[(Int, Long)])]]()
     @volatile private var seenBase: Option[Future[(Long, Seq[(Int, Long)])]] = None
 
-    /** Stage a COMPACTION of the seen history: `df` must be the full
-      * bucketed seen set through THIS commit's round (history ∪ this round's
-      * delta). It rewrites to one consolidated per-bucket file set under
-      * `seen_base/data/r<round>`, recorded in the manifest as `seen_base`
-      * (lineage preserved: per-bucket row counts, per-round deltas still
-      * listed in their own manifests). Readers then union base + deltas
-      * after it — O(rounds since last compaction) dirs instead of O(rounds),
-      * so neither the probe plan's branch count nor the per-bucket file
-      * count grows with crawl length. Atomicity is the usual IceLite story:
-      * a kill mid-compaction leaves a torn data dir with no manifest entry —
-      * invisible; resume re-reads the last committed manifests. */
-    def stageSeenBase(df: DataFrame): Unit = {
-      seenBase = Some(Future {
+    /** Stage an INCREMENTAL compaction of the seen history through THIS
+      * commit's round (see [[CrawlCatalog.compactSeen]]): only buckets whose
+      * accumulated file count crossed `maxFilesPerBucket` are rewritten;
+      * everything else carries forward by reference. Recorded in the
+      * manifest as `seen_base` (per-bucket row counts; per-round deltas
+      * still listed in their own manifests), so readers union base + deltas
+      * after it — O(rounds since last compaction) dirs instead of
+      * O(rounds). MUST be staged after (a) this round's seen delta was
+      * staged (the compaction folds its files — the future chains off that
+      * write) and (b) the previous round's manifest was finalized (the
+      * compaction planner reads committed lineage through round-1); the
+      * driver stages it right after the pipelined finalize. */
+    def stageSeenCompaction(maxFilesPerBucket: Int): Unit = {
+      val seenF = staged.getOrElse("seen",
+        throw new IllegalStateException("stage the seen delta before compaction"))
+      seenBase = Some(seenF.map { _ => // this round's delta files have landed
         val t = System.nanoTime()
-        val r = writeTable("seen_base", round, df)
+        val r = compactSeen(round, maxFilesPerBucket)
         if (verbose) System.err.println(
-          f"[commit] seen_base ${(System.nanoTime() - t) / 1e9}%.1fs")
+          f"[commit] seen_base(incremental) ${(System.nanoTime() - t) / 1e9}%.1fs")
         r
       })
     }
@@ -477,12 +583,6 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       Files.exists(manifestPath(r)) && manifest(r).has("seen_base")
     }
     def sweep(through: Int): Unit = {
-      def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-        val s = Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally s.close()
-      }
       (0 to through).foreach { r =>
         Seq("frontier", "hoststate", "seen", "seen_base")
           .foreach(t => deleteTree(Paths.get(dataDir(t, r))))

@@ -43,6 +43,14 @@ object CrawlDriver {
 
     val catalog = new CrawlCatalog(stateDir, spark)
     val params = sketchParamsOf(cfg)
+    // In-crawl expiration deletes below the newest compaction anchor at or
+    // before latest-keepLast+1; the deepest in-flight reader under commit
+    // pipelining resolves its seen history at round r-2 (the current round's
+    // async discovery aggregate), so keepLast must keep the anchor at or
+    // below that (>= 2), +1 margin.
+    require(cfg.expireEveryRounds == 0 || cfg.expireKeepLast >= 3,
+      s"expireEveryRounds=${cfg.expireEveryRounds} requires expireKeepLast >= 3 " +
+        s"(got ${cfg.expireKeepLast}): in-flight pipelined readers reach two rounds back")
     // storage-partitioned join over the DSv2 seen reader: group by the
     // reported bucket partitioning and allow shuffling the (small)
     // candidate side into it. Session-global planner settings — saved here
@@ -227,6 +235,15 @@ object CrawlDriver {
         retired.foreach(cleanup)
         retired = Some(out)
       }
+      // In-crawl expiration (VERDICT r3 task #2): bound the live manifest /
+      // state-file count every K rounds instead of only after the crawl.
+      // Runs after this round's commit block, so the newest committed
+      // manifest is r-1 (pipelined) or r; the horizon lands below the
+      // newest compaction anchor inside the retention window, which every
+      // in-flight reader's seen resolution already sits above.
+      if (cfg.expireKeepLast > 0 && cfg.expireEveryRounds > 0 &&
+          r % cfg.expireEveryRounds == 0)
+        catalog.expireSnapshots(cfg.expireKeepLast)
       if (cfg.verbose) System.err.println(
         f"[crawl] round $r compute=$tCompute%.1fs commit-drain=${(System.nanoTime() - tC) / 1e9}%.1fs " +
           s"fetched=${out.fetchedN}")

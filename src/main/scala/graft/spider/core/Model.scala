@@ -140,6 +140,16 @@ case class CrawlConfig(
       * Resume-safe: the retained window always includes the latest manifest
       * and every file set its readers reach. */
     expireKeepLast: Int = 0,
+    /** Also run expiration DURING the crawl, every this many rounds (0 =
+      * post-crawl only) — so a months-long crawl's manifest and state-file
+      * count is bounded while it runs, not just after it ends. Requires
+      * `expireKeepLast > 0`. Safe under commit pipelining: expiration only
+      * deletes below the newest compaction anchor at or before
+      * `latest - keepLast + 1`, and every live reader (the pending round's
+      * inputs, the in-flight compaction's sources, resume) resolves its seen
+      * history from a base at or above that anchor — their file sets are
+      * disjoint from the sweep by construction. */
+    expireEveryRounds: Int = 0,
     /** Pipeline snapshot commits one round deep: round r+1 consumes round
       * r's persisted in-memory state frames while round r's table writes
       * drain in the background; round r's manifest is renamed (the atomic

@@ -7,12 +7,31 @@ import graft.spider.state.CrawlCatalog
 
 /** Driver-run benchmark: times every SparkEntry query, then measures the
   * headline crawl throughput (urls fetched+extracted / sec) on a host-spread
-  * replicated corpus. Prints ONE JSON line. */
+  * replicated corpus. Prints ONE JSON line.
+  *
+  * SELF-ATTRIBUTING (VERDICT r3 task #3): the machine this runs on has
+  * measured multi-× phase swings (co-tenant drift — BENCH/BASELINE.md), so a
+  * bench number without a validity signal cannot be compared across rounds.
+  * The JSON therefore carries `probe_gibs` — the ScalingBench memory-
+  * bandwidth microprobe run before, between, and after the timed sections,
+  * at a FIXED configuration (4 threads × 512 MiB × 3 passes, independent of
+  * SPARK_GRAFT_CPUS) so the readings are comparable across rounds — plus
+  * `phases` wall-clock stamps per section. A reader can then phase-normalize
+  * or discard a drifted run without rerunning it: a probe reading far below
+  * the campaign norm (~10 GiB/s solo on this box at 4 threads) marks the
+  * surrounding section as machine-phase-suspect, not engine truth. */
 object Bench {
+
+  private def probe(): Double =
+    graft.spider.tools.ScalingBench.bandwidthProbe(
+      threads = 4, mibPerThread = 512, passes = 3)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "10").toInt
+    val wall0 = System.currentTimeMillis()
+    val probePre = probe()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt * 2).toString)
@@ -30,13 +49,18 @@ object Bench {
     // are built OUTSIDE the timed region: per-query numbers then measure
     // each operator's own plan; crawl cost is measured by the headline
     // crawl bench below.
+    val tPrewarm0 = System.nanoTime()
     graft.queries.Demos.prewarm(spark, sfDir)
+    val prewarmSecs = (System.nanoTime() - tPrewarm0) / 1e9
 
+    val tQueries0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val queriesSecs = (System.nanoTime() - tQueries0) / 1e9
+    val probeMid = probe()
 
     // headline: multi-round crawl throughput on a host-spread corpus
     // (replicate×20 hosts, generous politeness budgets so compute dominates).
@@ -59,12 +83,19 @@ object Bench {
       } catch { case e: Throwable =>
         s""""$key":{"error":"${e.getClass.getSimpleName}"},"""
       }
+    val tCrawl0 = System.nanoTime()
     val crawlJson = crawlOnce("crawl", 0L) + crawlOnce("crawl_bcast", Long.MaxValue)
+    val crawlSecs = (System.nanoTime() - tCrawl0) / 1e9
+    val probePost = probe()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$crawlJson"queries":$qs,"sf":"$sfDir"}""")
+    val attribution =
+      f""""probe_gibs":{"pre":$probePre%.2f,"mid":$probeMid%.2f,"post":$probePost%.2f},""" +
+        f""""phases":{"wall_start_ms":$wall0,"prewarm":$prewarmSecs%.1f,""" +
+        f""""queries":$queriesSecs%.1f,"crawl":$crawlSecs%.1f},"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$attribution$crawlJson"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,7 +103,7 @@ object StreamingCrawl {
     * into frontier candidates (in-stream dedup within the watermark; the
     * exact cross-wave dedup is the fetch join's anti-join below). */
   def discover(spark: SparkSession, fetchedDir: String, checkpointDir: String,
-      frontierDir: String): StreamingQuery = {
+      frontierDir: String, wave: Long): StreamingQuery = {
     spark.readStream.schema(pageSchema).parquet(fetchedDir)
       .select(col("warc_ts").as("parent_ts"),
         explode(extract_outlinks(col("html"))).as("raw_url"))
@@ -111,11 +111,13 @@ object StreamingCrawl {
       .withColumn("url_hash", xxhash64(col("url")))
       .withColumn("host", url_host(col("url")))
       .filter(col("host").isNotNull)
-      // Event time for dedup state = DISCOVERY time (the batch timestamp):
-      // monotone across waves, like fetch time in a real crawl. The page's
+      // Event time for dedup state = the WAVE NUMBER as an epoch-seconds
+      // timestamp: monotone across waves (like fetch time in a real crawl)
+      // and DETERMINISTIC — the engine's rule forbids wall-clock reads in
+      // any data path (`discoverRaw` stamps waves the same way). The page's
       // warc_ts is corpus metadata and NOT monotone — watermarking on it
       // would drop later waves' candidates as late data.
-      .withColumn("crawl_ts", current_timestamp())
+      .withColumn("crawl_ts", timestamp_seconds(lit(wave)))
       .withWatermark("crawl_ts", "1 hour")
       .dropDuplicatesWithinWatermark("url_hash")
       .select("url", "url_hash", "host", "parent_ts")
@@ -169,8 +171,8 @@ object StreamingCrawl {
       waves: Int): DataFrame = {
     val fetchedDir = s"$workDir/fetched"
     val frontierDir = s"$workDir/frontier"
-    for (_ <- 1 to waves) {
-      discover(spark, fetchedDir, s"$workDir/ckpt-discover", frontierDir)
+    for (w <- 1 to waves) {
+      discover(spark, fetchedDir, s"$workDir/ckpt-discover", frontierDir, w.toLong)
         .awaitTermination()
       fetchWave(spark, corpus, frontierDir, s"$workDir/ckpt-fetch", fetchedDir)
         .awaitTermination()
@@ -179,29 +181,45 @@ object StreamingCrawl {
   }
 
   // ------------------------------------------------------------------
-  // FUSED loop (VERDICT r2 task #10): frontier + politeness in ONE
-  // stateful streaming query. The per-host GroupState carries the batch
-  // engine's whole per-host crawl state — politeness clock, pending
-  // frontier queue, and the host's URL-seen set — so each trigger admits
-  // exactly the politeness-budget top-k in the batch dequeue order and
-  // retains the residual, replicating batch rounds wave-for-wave (asserted
-  // in StreamingCrawlSpec: same (wave, host, rank, url) tuples as
-  // CrawlDriver rounds under the same seeds + uniform budget).
+  // FUSED loop (VERDICT r2 task #10; state BOUNDED per VERDICT r3 task #4):
+  // frontier + politeness in ONE stateful streaming query. The per-host
+  // GroupState carries the politeness clock plus a CAPPED pending queue;
+  // each trigger admits exactly the politeness-budget top-k in the batch
+  // dequeue order, keeps at most `maxPending` residuals in state, and
+  // SPILLS the overflow to a re-queue parquet dir that is drained (as a
+  // second stream source) next wave — so state size is O(maxPending) per
+  // host no matter how large the host's frontier grows. The URL-seen set
+  // is NOT in state either: exact cross-wave dedup is a stream-static
+  // anti-join against the append-only enqueued log (the batch J3 analog),
+  // fronted by the engine's sharded Bloom as a broadcast prefilter (the
+  // batch F2 analog — false positives only cost the exact join the work it
+  // would have done; false "new" is impossible for logged hashes). The
+  // replicated batch semantics are asserted in StreamingCrawlSpec: same
+  // (wave, host, rank, url) tuples as CrawlDriver rounds under the same
+  // seeds + uniform budget — including with a forced-zero cap, where every
+  // residual cycles through the spill path every wave.
   //
-  // State-size note for real scale: pending+seen grow with the host's
-  // frontier/history (exactly the state the batch engine keeps in IceLite
-  // tables). A production continuous crawl would bound the in-state queue
-  // and spill overflow to a re-queue topic/table; the sandbox loop keeps
-  // it in state, matching the closed-corpus test sizes.
+  // At real scale the enqueued log is the engine's bucketed seen table
+  // (the anti-join then runs storage-partitioned, like batch J3); the
+  // sandbox keeps it as one flat parquet dir.
   // ------------------------------------------------------------------
 
   case class RawCand(url: String, url_hash: Long, host: String, parent_ts_us: Long,
       wave: Long)
+  /** A raw candidate tagged with its dedup provenance: `requeue` rows come
+    * from the spill dir (already in the enqueued log — they must BYPASS the
+    * anti-join and must not be re-logged). */
+  case class FusedCand(url: String, url_hash: Long, host: String,
+      parent_ts_us: Long, wave: Long, requeue: Boolean)
   case class PendingUrl(url: String, url_hash: Long, warc_ts_us: Long, wave: Long)
   case class HostCrawlState(next_allowed_ms: Long, fetched_total: Long,
-      pending: List[PendingUrl], seen: Set[Long])
-  case class AdmittedFetch(host: String, url: String, url_hash: Long, wave: Long,
-      rank_in_host: Int, sched_ms: Long)
+      pending: List[PendingUrl])
+  /** The fused stage's tagged output: `admit` rows feed the fetch join and
+    * the admitted log, `enq` rows append to the enqueued (seen) log and the
+    * hosts table, `spill` rows re-queue for the next wave. */
+  case class FusedOut(kind: String, host: String, url: String, url_hash: Long,
+      wave: Long, rank_in_host: Int, sched_ms: Long, warc_ts_us: Long,
+      disc_wave: Long)
 
   /** Sentinel url_hash for per-host tick rows: the re-trigger analog of a
     * GroupStateTimeout — with Trigger.AvailableNow a stateful group only
@@ -211,45 +229,58 @@ object StreamingCrawl {
   val TickHash: Long = Long.MinValue
 
   /** The fused admit function: in-wave exact dedup (min parent ts per url —
-    * the batch `groupBy(url).agg(min warc_ts)`), cross-wave dedup against
-    * the in-state seen set (the batch J3 anti-join), merge into the pending
-    * queue, admit the top-`budget` in the batch dequeue order
-    * (discovered-wave asc ≙ priority desc, then warc_ts, url_hash, url),
-    * advance the politeness clock per admission. */
-  private[streaming] def admitFn(budget: Int, delayMs: Long)(
-      host: String, batch: Iterator[RawCand], state: GroupState[HostCrawlState])
-      : Iterator[AdmittedFetch] = {
-    val st0 = state.getOption.getOrElse(HostCrawlState(0L, 0L, Nil, Set.empty))
+    * the batch `groupBy(url).agg(min warc_ts)`; cross-wave dedup already
+    * happened upstream via the enqueued-log anti-join, so a candidate that
+    * reaches this function is either genuinely new or a spill re-queue),
+    * merge into the pending queue, admit the top-`budget` in the batch
+    * dequeue order (discovered-wave asc ≙ priority desc, then warc_ts,
+    * url_hash, url), advance the politeness clock per admission, keep at
+    * most `maxPending` residuals in state and spill the rest. Spilled rows
+    * preserve their PendingUrl fields, so a URL can cycle through the spill
+    * path any number of waves without its dequeue-order key changing. */
+  private[streaming] def admitFn(budget: Int, delayMs: Long, maxPending: Int)(
+      host: String, batch: Iterator[FusedCand], state: GroupState[HostCrawlState])
+      : Iterator[FusedOut] = {
+    val st0 = state.getOption.getOrElse(HostCrawlState(0L, 0L, Nil))
     val (ticks, cands) = batch.toSeq.partition(_.url_hash == TickHash)
     // current wave: ticks and candidates are both stamped with the wave
     // whose trigger drains them
     val wave = (ticks.map(_.wave) ++ cands.map(_.wave)).max
     // in-wave exact dedup: min parent_ts per url_hash (earliest wave
     // first). A candidate drained at wave w came from a page fetched at
-    // wave w-1, so its batch discovered_round analog is w-1.
-    val arrivals = cands
+    // wave w-1, so its batch discovered_round analog is w-1; a re-queued
+    // spill row was written with wave = its original disc_wave + 1, so the
+    // same formula restores its original dequeue-order key.
+    val arrivalsTagged = cands
       .groupBy(_.url_hash)
       .map { case (_, xs) =>
         val first = xs.minBy(c => (c.wave, c.parent_ts_us, c.url))
-        PendingUrl(first.url, first.url_hash,
-          xs.filter(_.wave == first.wave).map(_.parent_ts_us).min, first.wave - 1)
+        (PendingUrl(first.url, first.url_hash,
+          xs.filter(_.wave == first.wave).map(_.parent_ts_us).min, first.wave - 1),
+          xs.forall(_.requeue))
       }
-      .filterNot(p => st0.seen.contains(p.url_hash))
       .toSeq
+    val arrivals = arrivalsTagged.map(_._1)
     val pending = (st0.pending ++ arrivals)
       .sortBy(p => (p.wave, p.warc_ts_us, p.url_hash, p.url))
-    val (admit, residual) = pending.splitAt(budget)
+    val (admit, rest) = pending.splitAt(budget)
+    val (keep, spill) = rest.splitAt(maxPending)
     var clock = st0.next_allowed_ms
     var total = st0.fetched_total
-    val out = admit.zipWithIndex.map { case (p, i) =>
+    val admitted = admit.zipWithIndex.map { case (p, i) =>
       val sched = clock
       clock += delayMs
       total += 1
-      AdmittedFetch(host, p.url, p.url_hash, wave, i + 1, sched)
+      FusedOut("admit", host, p.url, p.url_hash, wave, i + 1, sched, 0L, 0L)
     }
-    state.update(HostCrawlState(clock, total, residual,
-      st0.seen ++ arrivals.map(_.url_hash)))
-    out.iterator
+    // log only FRESH arrivals (re-queued rows are already in the log)
+    val enqueued = arrivalsTagged.collect { case (p, false) =>
+      FusedOut("enq", host, p.url, p.url_hash, wave, 0, 0L, p.warc_ts_us, p.wave)
+    }
+    val spilled = spill.map(p =>
+      FusedOut("spill", host, p.url, p.url_hash, wave, 0, 0L, p.warc_ts_us, p.wave))
+    state.update(HostCrawlState(clock, total, keep))
+    (admitted ++ enqueued ++ spilled).iterator
   }
 
   /** Raw discovery for the fused loop: explode + canonicalize outlinks of
@@ -279,37 +310,98 @@ object StreamingCrawl {
       .start()
   }
 
+  private val candSchema = StructType(Seq(
+    StructField("url", StringType), StructField("url_hash", LongType),
+    StructField("host", StringType), StructField("parent_ts_us", LongType),
+    StructField("wave", LongType)))
+
+  // enqueued-log Bloom prefilter layout (fixed; the log is sandbox-sized)
+  private val BloomShards = 16
+  private val BloomPerShard = 65536L
+  private val BloomFpp = 0.03
+
   /** The fused stage: ONE stateful streaming query from raw candidates to
-    * fetched pages — per-host frontier + seen + politeness in GroupState
-    * (initialized from the seeds, mirroring the batch round-0 commit),
-    * admitted URLs fetch-joined against the static corpus in foreachBatch
-    * and appended back to `fetchedDir` to feed the next wave. */
+    * fetched pages. Two stream sources union — fresh candidates (exact-
+    * deduped against the static enqueued log behind the sharded-Bloom
+    * prefilter, the batch F2→J3 shape) and spill re-queues (already
+    * logged, so they bypass the dedup). Per-host GroupState (initialized
+    * from the seeds, mirroring the batch round-0 commit) admits the
+    * politeness top-k; foreachBatch fans the tagged output to the admitted
+    * log + fetch join, the enqueued log + hosts table, and the re-queue
+    * dir — closing the loop for the next wave. */
   def fusedAdmitFetch(spark: SparkSession, corpus: DataFrame, frontierDir: String,
+      requeueDir: String, enqueuedDir: String, hostsDir: String,
       checkpointDir: String, fetchedDir: String, admittedDir: String,
       seedsByHost: Dataset[(String, HostCrawlState)], budget: Int,
-      delayMs: Long): StreamingQuery = {
+      delayMs: Long, maxPending: Int,
+      bloomBlob: Array[Byte], bloomDeltaOut: java.util.concurrent.atomic.AtomicReference[Array[Byte]])
+      : StreamingQuery = {
     import spark.implicits._
-    val candSchema = StructType(Seq(
-      StructField("url", StringType), StructField("url_hash", LongType),
-      StructField("host", StringType), StructField("parent_ts_us", LongType),
-      StructField("wave", LongType)))
-    spark.readStream.schema(candSchema).parquet(frontierDir)
-      .as[RawCand]
+    import graft.spider.sketch.Sketches
+    val enqLog = spark.read.schema(StructType(Seq(
+      StructField("url_hash", LongType)))).parquet(enqueuedDir)
+      .withColumn("__hit", lit(true))
+    val freshSrc = spark.readStream.schema(candSchema).parquet(frontierDir)
+    // batch F2 analog: definitely-new hashes skip the exact anti-join; only
+    // the maybe-seen slice pays the stream-static join against the log.
+    // A Bloom false positive costs the join the work it would have done; a
+    // false "new" is impossible for hashes actually logged. Tick rows pass
+    // either branch (TickHash is never logged).
+    val bloomBc = spark.sparkContext.broadcast(Sketches.shardedFrom(bloomBlob))
+    val mc = graft.spider.expr.SpiderFunctions
+      .bloom_sharded_might_contain(bloomBc, col("url_hash"))
+    val fresh = freshSrc.filter(!mc)
+      .unionByName(
+        // left_outer + null-filter ≙ left_anti (the stream-static shape the
+        // batch classic join uses); duplicate log rows cannot multiply
+        // output because only match-less rows survive
+        freshSrc.filter(mc)
+          .join(enqLog, Seq("url_hash"), "left_outer")
+          .filter(col("__hit").isNull).drop("__hit"))
+      .withColumn("requeue", lit(false))
+    val requeued = spark.readStream.schema(candSchema).parquet(requeueDir)
+      .withColumn("requeue", lit(true))
+    fresh.unionByName(requeued)
+      .as[FusedCand]
       .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout(),
         seedsByHost.groupByKey(_._1).mapValues(_._2))(
         (host, batch, state: GroupState[HostCrawlState]) =>
-          admitFn(budget, delayMs)(host, batch, state))
+          admitFn(budget, delayMs, maxPending)(host, batch, state))
       .writeStream
-      .foreachBatch { (admitted: Dataset[AdmittedFetch], _: Long) =>
-        val s2 = admitted.sparkSession
-        val adm = admitted.toDF()
-        adm.write.mode("append").parquet(admittedDir)
-        adm.select("url")
-          .join(corpus, Seq("url"), "inner")
-          .select("url", "warc_ts", "html", "text", "lang")
-          .write.mode("append").parquet(fetchedDir)
-        ()
+      .foreachBatch { (out: Dataset[FusedOut], _: Long) =>
+        val s2 = out.sparkSession
+        val o = out.toDF().persist()
+        try {
+          val enq = o.filter(col("kind") === "enq")
+          enq.select("url_hash").write.mode("append").parquet(enqueuedDir)
+          // hosts table: append only hosts not yet known — a distributed
+          // anti-join, no driver collect (VERDICT r3 task #4c). Reading and
+          // appending the same dir is safe: the listing resolves before the
+          // write lands new files (same pattern as fetchWave above).
+          enq.select("host").distinct()
+            .join(s2.read.schema(StructType(Seq(StructField("host", StringType))))
+              .parquet(hostsDir), Seq("host"), "left_anti")
+            .write.mode("append").parquet(hostsDir)
+          // the wave's Bloom delta (one blob to the driver — it IS the next
+          // wave's broadcast prefilter model, the batch A1 shape)
+          bloomDeltaOut.set(enq.agg(Sketches.shardedBloomAgg(col("url_hash"),
+            BloomShards, BloomPerShard, BloomFpp)).head().getAs[Array[Byte]](0))
+          val adm = o.filter(col("kind") === "admit")
+          adm.select("host", "url", "url_hash", "wave", "rank_in_host", "sched_ms")
+            .write.mode("append").parquet(admittedDir)
+          adm.select("url")
+            .join(corpus, Seq("url"), "inner")
+            .select("url", "warc_ts", "html", "text", "lang")
+            .write.mode("append").parquet(fetchedDir)
+          // spill re-queue: original dequeue-order key preserved (wave is
+          // written +1 so admitFn's wave-1 restores disc_wave)
+          o.filter(col("kind") === "spill")
+            .select(col("url"), col("url_hash"), col("host"),
+              col("warc_ts_us").as("parent_ts_us"),
+              (col("disc_wave") + 1L).as("wave"))
+            .write.mode("append").parquet(requeueDir)
+        } finally { o.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -321,49 +413,62 @@ object StreamingCrawl {
     * against CrawlDriver rounds).
     *
     * Wave 0 ≙ the batch round-0 seed commit: per-host GroupState starts
-    * with the seeds in PENDING (discovered wave 0) and in `seen`, so wave 1
-    * admits the politeness-top-k of the seeds exactly like batch round 1
-    * dequeues them (over-budget seeds stay pending — same residual
-    * semantics). fetchedDir starts empty; admitted URLs fetch-join the
-    * corpus and append there, feeding the next wave's discovery. */
+    * with the seeds in PENDING (discovered wave 0); the seeds also
+    * initialize the enqueued log + its Bloom (the batch round-0 seen
+    * commit) and the hosts table. Hosts are ticked from the hosts table —
+    * a distributed append, never a driver collect; a host first appearing
+    * in a wave needs no tick that wave (its group fires on its own
+    * candidate input) and is in the table for every later wave.
+    * `maxPending` bounds the per-host in-state queue; overflow spills to
+    * the re-queue dir and re-enters next wave (0 = nothing stays in state
+    * beyond the politeness clock). */
   def fusedLoop(spark: SparkSession, corpus: DataFrame, workDir: String,
-      seeds: DataFrame, budget: Int, delayMs: Long, waves: Int): DataFrame = {
+      seeds: DataFrame, budget: Int, delayMs: Long, waves: Int,
+      maxPending: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
+    import graft.spider.sketch.Sketches
     val fetchedDir = s"$workDir/fetched"
     val frontierDir = s"$workDir/frontier"
     val admittedDir = s"$workDir/admitted"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fetchedDir))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(frontierDir))
+    val requeueDir = s"$workDir/requeue"
+    val enqueuedDir = s"$workDir/enqueued"
+    val hostsDir = s"$workDir/hosts"
+    Seq(fetchedDir, frontierDir, requeueDir).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
 
-    val seedRows = seeds
-      .select(col("host"), col("url"), col("url_hash"),
-        unix_micros(col("warc_ts")).as("warc_ts_us"))
-      .as[(String, String, Long, Long)].collect()
-    val seedStates = seedRows.groupBy(_._1).map { case (h, xs) =>
-      (h, HostCrawlState(0L, 0L,
-        xs.map(x => PendingUrl(x._2, x._3, x._4, 0L)).toList,
-        xs.map(_._3).toSet))
-    }.toSeq.toDS()
-    val knownHosts = scala.collection.mutable.Set[String](seedRows.map(_._1): _*)
+    val seedSel = seeds.select(col("host"), col("url"), col("url_hash"),
+      unix_micros(col("warc_ts")).as("warc_ts_us"))
+    // distributed seed state build — no driver collect (task #4c)
+    val seedStates: Dataset[(String, HostCrawlState)] = seedSel
+      .as[(String, String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (h, it) =>
+        (h, HostCrawlState(0L, 0L,
+          it.map(x => PendingUrl(x._2, x._3, x._4, 0L)).toList))
+      }
+    // seeds ≙ batch round-0 seen commit: enqueued log + hosts table + Bloom
+    seedSel.select("url_hash").write.mode("overwrite").parquet(enqueuedDir)
+    seedSel.select("host").distinct().write.mode("overwrite").parquet(hostsDir)
+    var bloomBlob = seedSel.agg(Sketches.shardedBloomAgg(col("url_hash"),
+      BloomShards, BloomPerShard, BloomFpp)).head().getAs[Array[Byte]](0)
+    val bloomDelta = new java.util.concurrent.atomic.AtomicReference[Array[Byte]]()
 
     for (w <- 1L to waves.toLong) {
       discoverRaw(spark, fetchedDir, s"$workDir/ckpt-discover", frontierDir, w)
         .awaitTermination()
-      // tick every known host (hosts can also ARRIVE this wave — collect
-      // them from the frontier dir so next wave ticks them too)
-      knownHosts ++= spark.read.schema(StructType(Seq(
-          StructField("url", StringType), StructField("url_hash", LongType),
-          StructField("host", StringType), StructField("parent_ts_us", LongType),
-          StructField("wave", LongType))))
-        .parquet(frontierDir)
-        .select("host").distinct().as[String].collect()
-      knownHosts.toSeq.sorted
-        .map(h => (null.asInstanceOf[String], TickHash, h, 0L, w))
-        .toDF("url", "url_hash", "host", "parent_ts_us", "wave")
+      // tick every host in the hosts table (distributed append)
+      spark.read.schema(StructType(Seq(StructField("host", StringType))))
+        .parquet(hostsDir)
+        .select(lit(null).cast(StringType).as("url"), lit(TickHash).as("url_hash"),
+          col("host"), lit(0L).as("parent_ts_us"), lit(w).as("wave"))
         .write.mode("append").parquet(frontierDir)
-      fusedAdmitFetch(spark, corpus, frontierDir, s"$workDir/ckpt-fused",
-        fetchedDir, admittedDir, seedStates, budget, delayMs)
+      bloomDelta.set(null)
+      fusedAdmitFetch(spark, corpus, frontierDir, requeueDir, enqueuedDir,
+        hostsDir, s"$workDir/ckpt-fused", fetchedDir, admittedDir, seedStates,
+        budget, delayMs, maxPending, bloomBlob, bloomDelta)
         .awaitTermination()
+      Option(bloomDelta.get()).foreach(d =>
+        bloomBlob = Sketches.mergeShardedBlobs(bloomBlob, d))
     }
     spark.read.parquet(admittedDir)
   }

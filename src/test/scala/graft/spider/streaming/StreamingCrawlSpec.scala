@@ -117,6 +117,27 @@ class StreamingCrawlSpec extends AnyFunSuite with SparkTestBase {
         ts.zip(ts.drop(1)).count { case (a, b) => b - a < delayMs }
       }.sum
     assert(badSpacing == 0, "politeness clock must space admissions by the delay")
+
+    // BOUNDED state (VERDICT r3 task #4): with maxPending = 0 NOTHING stays
+    // in the per-host state beyond the politeness clock — every residual
+    // cycles through the spill/re-queue path every wave — and the admitted
+    // tuples must still replicate the batch rounds exactly (spilled rows
+    // preserve their dequeue-order key).
+    val workCap = Files.createTempDirectory("graft-fused-cap-").toString
+    val admittedCap = StreamingCrawl.fusedLoop(spark, pages, workCap,
+      seeds.toDF(), budget, delayMs, waves = cfg.rounds, maxPending = 0)
+    val capTuples = admittedCap
+      .join(pages.select("url"), Seq("url"), "left_semi")
+      .select(col("wave"), col("host"), col("rank_in_host"), col("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(capTuples == batchTuples,
+      s"cap=0 stream=${capTuples.size} batch=${batchTuples.size}; " +
+        s"missing=${(batchTuples -- capTuples).take(3)} " +
+        s"extra=${(capTuples -- batchTuples).take(3)}")
+    // the spill path must actually have carried rows (the cap was binding)
+    val spilled = spark.read.parquet(s"$workCap/requeue").count()
+    assert(spilled > 0, "maxPending=0 must route residuals through the re-queue dir")
     pages.unpersist()
   }
 

@@ -77,6 +77,14 @@ object Demos {
     ()                    // not what the corpus_bucketed demo measures
   }
 
+  /** Fixture parquet dir for oracles over tables DuckDB cannot derive (the
+    * hash-derived robots rules): written by the query itself, read back by
+    * the oracle SQL via `read_parquet`. Keyed by the sf basename so a bench
+    * run at another sf cannot clobber the verify run's fixture; the static
+    * oracle SQL references the driver's verify sf (0.01). */
+  private def robotsFixture(dir: String): String =
+    s"/tmp/graft-verify-fixtures/robots-${new java.io.File(dir).getName}"
+
   /** The DuckDB-side url expression for the synthesized corpus. */
   private val duckUrl =
     "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
@@ -324,9 +332,13 @@ object Demos {
         explode(extract_outlinks(col("html"))).as("outlink"))
         .orderBy("url", "outlink")),
 
-    // F1/E7: robots gate
+    // F1/E7: robots gate — DuckDB-checked (VERDICT r3 task #6): the rules
+    // are hash-derived (not SQL-expressible), so the query materializes the
+    // robots table to a fixture parquet and the oracle re-executes the gate
+    // (join + longest-prefix disallow + count) independently over it.
     "robots_filter" -> ((s, dir) => {
       val robots = PagesSynth.robots(s, dir).toDF()
+      robots.coalesce(1).write.mode("overwrite").parquet(robotsFixture(dir))
       pages(s, dir).select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
         .join(broadcast(robots), Seq("host"))
         .filter(robots_allows(col("url"), col("disallow_prefixes")))
@@ -636,5 +648,23 @@ object Demos {
     "token_count" ->
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) " +
-        "AS n_tokens FROM documents ORDER BY doc_id"))
+        "AS n_tokens FROM documents ORDER BY doc_id"),
+    // E1 expected-column oracle: the query canonicalizes an equivalence-
+    // class variant (upper-cased scheme+host + fragment) of each corpus url;
+    // the oracle independently states the expected fixed point — canonical
+    // must equal the original url, matches must be true, for every row.
+    "url_canonicalize" ->
+      (s"SELECT url, url AS canonical, true AS matches FROM " +
+        s"(SELECT $duckUrl AS url FROM documents) ORDER BY url"),
+    // F1/E7 oracle: re-execute the robots gate over the materialized rules
+    // (written by the query itself — see robotsFixture): per-host count of
+    // corpus urls whose canonical path matches no disallow prefix.
+    "robots_filter" ->
+      ("WITH robots AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/robots-sf0.01/*.parquet')), " +
+        "pages AS (SELECT source || '.example.com' AS host, " +
+        "'/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents) " +
+        "SELECT host, count(*) AS n_allowed FROM pages JOIN robots USING (host) " +
+        "WHERE len(list_filter(disallow_prefixes, p -> starts_with(path, p))) = 0 " +
+        "GROUP BY host ORDER BY host"))
 }

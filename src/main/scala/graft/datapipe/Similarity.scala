@@ -88,18 +88,23 @@ object Similarity {
 
   /** Approximate top-k: candidates share one of the query's probe buckets,
     * then exact cosine re-ranks. `multiProbe = p` additionally probes every
-    * bucket within Hamming distance p of the query's (p ∈ {0, 1}): the
+    * bucket within Hamming distance p of the query's (p ∈ {0, 1, 2}): the
     * standard recall lever that does NOT widen the corpus-side buckets —
-    * only the (small, broadcast) query side fans out ×(1 + nPlanes). */
+    * only the (small, broadcast) query side fans out, ×(1 + nPlanes) at
+    * p = 1 and ×(1 + nPlanes + C(nPlanes, 2)) at p = 2. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       nPlanes: Int = 8, dim: Int = 64, multiProbe: Int = 1): DataFrame = {
-    require(multiProbe >= 0 && multiProbe <= 1, "multiProbe ∈ {0, 1}")
+    require(multiProbe >= 0 && multiProbe <= 2, "multiProbe ∈ {0, 1, 2}")
     val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val qb0 = queries.withColumn("bucket0", lshBucket(col(qvecCol), nPlanes, dim))
-    val probes: Seq[Column] = col("bucket0") +:
+    val probes: Seq[Column] = (col("bucket0") +:
       (if (multiProbe >= 1)
         (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1 << i)))
+      else Nil)) ++
+      (if (multiProbe >= 2)
+        for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes)
+          yield col("bucket0").bitwiseXOR(lit((1 << i) | (1 << j)))
       else Nil)
     val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
     val candidates = cb.join(broadcast(qb), Seq("bucket"))

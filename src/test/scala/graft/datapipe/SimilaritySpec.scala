@@ -20,6 +20,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private def mix2(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def unit2(seed: Long, dim: Int, scale: Double): Array[Float] =
+    (0 until dim).map(d =>
+      (mix2(seed * 8191 + d).toDouble / Long.MaxValue * scale).toFloat).toArray
+
+  /** The HARD ANN fixture (VERDICT r3 task #7): OVERLAPPING clusters — 10
+    * parent directions, 5 child clusters each perturbed only 0.35 off the
+    * parent, members 0.12 off their child. A member's true top-5 can span
+    * sibling child clusters, and the coarse structures (IVF lists, LSH
+    * buckets) split sibling children across cells — single-probe recall is
+    * poor by construction and the probe count is the recovery lever. */
+  private lazy val overlapRows: Seq[(Long, Array[Float])] = {
+    val dim = 64
+    for (p <- 0 until 10; c <- 0 until 5; m <- 0 until 10) yield {
+      val parent = unit2(p.toLong + 1, dim, 1.0)
+      val child = unit2(p.toLong * 131 + c + 3, dim, 0.35)
+      val noise = unit2((p * 50 + c * 10 + m).toLong + 100000, dim, 0.12)
+      ((p * 50 + c * 10 + m).toLong,
+        parent.indices.map(i => parent(i) + child(i) + noise(i)).toArray)
+    }
+  }
+  private lazy val overlapLocal: Map[Long, Array[Double]] =
+    overlapRows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+  private def overlapBrute(queryIds: Seq[Long], k: Int): Set[(Long, Long)] =
+    queryIds.flatMap { qid =>
+      overlapLocal.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosine(overlapLocal(qid), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map { case (id, _) => (qid, id) }
+    }.toSet
+
   test("bruteTopK == plain-Scala brute force (ids, ranks, cosines)") {
     val q = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -165,6 +200,62 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val recall = brute.count(got).toDouble / brute.size
     info(f"IVF clustered recall@5 = $recall%.3f (nList=$nList, nProbe=4)")
     assert(recall >= 0.9, s"clustered-corpus IVF recall $recall")
+  }
+
+  test("hamming-2 multi-probe: recall monotone in probe radius, ≥ 0.9 on the overlapping corpus") {
+    import spark.implicits._
+    val df = overlapRows.toDF("vec_id", "embedding")
+    val queryIds = overlapLocal.keys.filter(_ % 25 == 0).toSeq.sorted
+    val q = df.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // 8 planes = 256 buckets over 500 vectors: fine enough that hamming-1
+    // probing still misses neighbors two sign-flips away — the radius-2
+    // regime (at the corpus-scaled 4 planes the lever saturates at radius 1)
+    val nPlanes = 8
+    val brute = overlapBrute(queryIds, 5)
+    def recallOf(p: Int): Double = {
+      val got = Similarity.lshTopK(df, "vec_id", "embedding", q, "qid", "qvec", 5,
+        nPlanes = nPlanes, dim = 64, multiProbe = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count(got).toDouble / brute.size
+    }
+    val (r0, r1, r2) = (recallOf(0), recallOf(1), recallOf(2))
+    info(f"overlapping-corpus lshTopK recall@5: p0=$r0%.3f p1=$r1%.3f p2=$r2%.3f (nPlanes=$nPlanes)")
+    // probe sets are nested (H0 ⊂ H0∪H1 ⊂ H0∪H1∪H2) → recall non-decreasing
+    assert(r1 >= r0 && r2 >= r1, s"probe-radius monotonicity violated: $r0 / $r1 / $r2")
+    assert(r2 >= 0.9, s"hamming-2 recall on the overlapping corpus: $r2")
+  }
+
+  test("IVF nProbe sweep on the overlapping corpus: nested recall, ≥ 0.9 at nProbe=8") {
+    import spark.implicits._
+    val df = overlapRows.toDF("vec_id", "embedding")
+    val queryIds = overlapLocal.keys.filter(_ % 25 == 0).toSeq.sorted
+    val q = df.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // finer lists than child clusters (125 lists vs 50 children): a child's
+    // members straddle list boundaries, so single-probe misses same-child
+    // neighbors that landed one centroid over — the regime nProbe recovers
+    val nList = Similarity.listsFor(overlapRows.size.toLong, targetList = 4)
+    val cents = Similarity.ivfTrain(df, "vec_id", "embedding", nList)
+    val brute = overlapBrute(queryIds, 5)
+    val sweep = Seq(1, 2, 4, 8).map { nProbe =>
+      val got = Similarity.ivfTopK(df, "vec_id", "embedding", q, "qid", "qvec", 5,
+        cents, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      nProbe -> (brute.count(got).toDouble / brute.size)
+    }
+    info(s"overlapping-corpus IVF recall@5 vs nProbe (nList=$nList): " +
+      sweep.map { case (p, r) => f"$p->$r%.3f" }.mkString(", "))
+    // probed-list sets are nested prefixes of the centroid ranking →
+    // candidates, hence recall, are non-decreasing in nProbe
+    sweep.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(b >= a, s"nProbe recall not nested: $sweep")
+      case _ =>
+    }
+    assert(sweep.last._2 >= 0.9, s"nProbe=8 recall on the overlapping corpus: ${sweep.last._2}")
+    // the sweep must exercise the hard regime: single-probe alone should NOT
+    // already saturate (otherwise the fixture is not testing the lever)
+    assert(sweep.head._2 < 0.95, s"fixture too easy: nProbe=1 recall ${sweep.head._2}")
   }
 
   test("ivfTopK candidates are correctly scored and every neighbor shares a probed list") {

@@ -126,6 +126,60 @@ object RoundPlanAudit {
     sb.append("## dequeue (partitioned robots gate — host exchange reused by the window)\n\n```\n")
     sb.append(fmt(rankedPart.filter(col("rank_in_host") <= col("budget")))).append("\n```\n\n")
 
+    // ---- two-phase (salted) dequeue under FORCED mega-host skew (J4) ----
+    // fixture: one host holds ~95% of the frontier. Audit: phase 1's rank
+    // window partitions by (host, pmod(url_hash, S)) — its Exchange hashes
+    // the mega-host across S task groups instead of one — and phase 2's
+    // exact re-rank runs over only the ~S·budget phase-1 survivors. The
+    // per-task row counts below are measured, not inferred from the plan.
+    {
+      val s = math.max(2, cfg.saltFactor)
+      val megaN = 19000L
+      val mega = spark.range(0, megaN).select(
+          concat(lit("https://mega.example.com/doc/"), col("id")).as("url"),
+          lit("mega.example.com").as("host"))
+        .unionByName(spark.range(0, 1000).select(
+          concat(lit("https://small"), pmod(col("id"), lit(20)),
+            lit(".example.com/doc/"), col("id")).as("url"),
+          concat(lit("small"), pmod(col("id"), lit(20)),
+            lit(".example.com")).as("host")))
+        .withColumn("url_hash", xxhash64(col("url")))
+        .withColumn("priority", lit(100))
+        .withColumn("warc_ts", timestamp_micros(pmod(col("url_hash"), lit(1000000L))))
+        .withColumn("budget", lit(5L))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mega.count()
+      val twoPhase = CrawlEngine.rankPerHost(mega, cfg.copy(twoPhaseDequeue = true))
+        .filter(col("rank_in_host") <= col("budget"))
+      sb.append("## two-phase dequeue under forced mega-host skew (19k/20k rows on one host)\n\n```\n")
+      sb.append(fmt(twoPhase)).append("\n```\n\n")
+      // exactness on the skewed fixture: two-phase ≡ plain (same dequeue set)
+      val plain = CrawlEngine.rankPerHost(mega, cfg.copy(twoPhaseDequeue = false))
+        .filter(col("rank_in_host") <= col("budget"))
+      val a = twoPhase.select("url", "rank_in_host").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val b = plain.select("url", "rank_in_host").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      require(a == b, s"two-phase dequeue diverged from plain under skew: ${(a diff b).take(3)}")
+      // measured per-task spread of the mega-host under the two partitionings
+      def perTask(parted: org.apache.spark.sql.DataFrame): Seq[Long] = parted
+        .filter(col("host") === "mega.example.com")
+        .select(spark_partition_id().as("pid"))
+        .groupBy("pid").count().collect().map(_.getLong(1)).toSeq.sorted.reverse
+      // explicit partition counts: AQE would coalesce a 20k-row shuffle to
+      // one partition and hide the spread under audit
+      val unsalted = perTask(mega.repartition(s, col("host")))
+      val salted = perTask(mega.repartition(s, col("host"), pmod(col("url_hash"), lit(s.toLong))))
+      sb.append("### measured per-task rows of the mega-host\n\n")
+      sb.append(s"- phase-1 exchange keys (host, pmod(url_hash, $s)): " +
+        s"${salted.size} tasks, max ${salted.head} rows (${salted.mkString(", ")})\n")
+      sb.append(s"- un-salted host exchange: ${unsalted.size} task, ${unsalted.head} rows " +
+        "(the whole mega-host on one task)\n\n")
+      require(unsalted.size == 1 && unsalted.head == megaN,
+        s"unsalted fixture must concentrate on one task: $unsalted")
+      require(salted.size >= 4 && salted.head <= megaN / 2,
+        s"salted exchange must spread the mega-host: ${salted.size} tasks, max ${salted.head}")
+      mega.unpersist()
+    }
+
     // ---- fetch join, at-scale path (pages pre-partitioned, shuffled-hash)
     // audit: ShuffledHashJoin (NOT SortMergeJoin — no sort of the corpus),
     // NO Exchange on the pages side (its cached partitioning satisfies the

@@ -93,8 +93,18 @@ object ScalingBench {
       // fetchBroadcastMax=0: always the shuffled-hash fetch join — the only
       // strategy that exists at a 10^10-URL frontier (a broadcast build is
       // driver-serial; the bench measures the at-scale path at every round).
+      //
+      // GRAFT_COMPACT_EVERY / GRAFT_EXPIRE_EVERY / GRAFT_EXPIRE_KEEP force
+      // the maintenance cadence so a campaign can measure the in-loop cost
+      // of incremental compaction + snapshot expiration (campaign J): at
+      // the defaults a 4-round run never fires either (compactSeenEvery=8,
+      // expiration off), so their steady-state overhead needs its own
+      // campaign with the cadence dialed down into the run's round count.
       val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true,
-        fetchBroadcastMax = 0L)
+        fetchBroadcastMax = 0L,
+        compactSeenEvery = sys.env.getOrElse("GRAFT_COMPACT_EVERY", "8").toInt,
+        expireEveryRounds = sys.env.getOrElse("GRAFT_EXPIRE_EVERY", "0").toInt,
+        expireKeepLast = sys.env.getOrElse("GRAFT_EXPIRE_KEEP", "0").toInt)
       // Corpus layout, two modes:
       //
       // GRAFT_CORPUS_DIR set (the round-3 campaign default): the corpus is a

@@ -173,6 +173,120 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
 
+  // ------------------------------------------------------------------
+  // Near-duplicate clustering: connected components over a pair set
+  // ------------------------------------------------------------------
+
+  /** Connected components over an undirected edge list `(srcCol, dstCol)`
+    * — the alternating large-star / small-star contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    * Returns `(id, component)` for every vertex that appears in an edge,
+    * with `component` = the smallest vertex id in its component.
+    *
+    * Why this algorithm at corpus scale (the consumer is near-dup pair
+    * sets over 10^9+ documents):
+    *  - converges in O(log² n) rounds worst-case (single digits in
+    *    practice — near-dup graphs are unions of shallow quasi-cliques),
+    *    vs O(diameter) for plain label propagation, whose worst case is a
+    *    10^6-hop chain of pairwise-similar documents;
+    *  - each round is two min-aggregations + two key-shuffle joins on the
+    *    vertex id — no `collect_set` of neighbor lists anywhere, so a
+    *    mega-component (every boilerplate page sharing one template)
+    *    never materializes a giant array in one task: its star edges
+    *    spread across tasks by vertex key;
+    *  - every intermediate edge set is `localCheckpoint`ed: the iteration
+    *    would otherwise stack 2 joins per round onto one logical plan and
+    *    re-analysis cost grows superlinearly with rounds (a long-lineage
+    *    iterative plan is the classic Spark iterative-algorithm trap; a
+    *    fault-tolerant deployment would use reliable `checkpoint` to a
+    *    cluster FS instead — same call shape).
+    *
+    * Convergence is detected by an order-insensitive edge-set signature
+    * (count + sum of per-edge xxhash64 widened to decimal — overflow-safe
+    * under ANSI) going stable across one round; the star transforms are
+    * idempotent on their fixpoint, so the extra round is the detection
+    * cost, not a correctness risk. Fails fast (require) if `maxIter`
+    * rounds pass without convergence rather than returning a partial
+    * clustering. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    // normalize: long ids, self-loops dropped, directed large → small
+    var e = edges
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("src"),
+        least(col("s"), col("d")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var sig = signature(e)
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u}).
+      // After it, all edges point large → small again.
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: u and all its (smaller) neighbors attach to u's min
+      // neighbor — contracts each star one level toward the component min.
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val next = ls.join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      // localCheckpoint leaves are not in the CacheManager — Dataset
+      // .unpersist is a no-op on them; free the blocks directly (the
+      // engine's RoundOutput.ckptRdds pattern).
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(e)
+        .foreach(_.unpersist(blocking = false))
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds " +
+        s"(edge signature still moving: $sig)")
+    // converged edge set is a union of stars (member, componentMin)
+    e.select(col("src").as("id"), col("dst").as("cid"))
+      .union(e.select(col("dst").as("id"), col("dst").as("cid")))
+      .groupBy("id").agg(min("cid").as("component"))
+  }
+
+  /** Near-duplicate clusters: connected components over a candidate/verified
+    * pair set (from [[minhashPairs]], [[simhashPairs]], embedding near-dup
+    * buckets, or any blocking scheme), attached back to EVERY document —
+    * documents in no pair form singleton clusters. Returns
+    * `(idCol, cluster_id)` with `cluster_id` = smallest member id, the
+    * canonical representative a training-data pipeline keeps. */
+  def dedupClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cc_id"), col("component"))
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard for a given candidate pair set (id_a, id_b) —
     * the verification kernel alone, reusable outside LSH. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

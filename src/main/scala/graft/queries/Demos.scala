@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -305,6 +305,31 @@ object Demos {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
+
+    // near-dup clustering: distributed connected components (alternating
+    // large-star/small-star) over two cross-cutting star-edge blocking
+    // families — text prefix (the near-dup relation this corpus actually
+    // carries) and exact length (an independent blocking key standing in
+    // for a second signal, e.g. a simhash band) — so components merge
+    // TRANSITIVELY across families (multi-hop chains, max component 8 at
+    // sf0.01). The DuckDB oracle recomputes the same components with a
+    // recursive-CTE reachability closure — a genuinely iterative
+    // distributed algorithm checked end-to-end against sequential SQL.
+    // (Production entry point is Dedup.dedupClusters over minhashPairs /
+    // simhashPairs output; those pair sets aren't SQL-expressible, so the
+    // duck-checked edge families are built from SQL-reproducible keys.)
+    "dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
+      def starEdges(key: Column): DataFrame = {
+        val keyed = d.select(col("doc_id"), key.as("k"))
+        val mins = keyed.groupBy("k").agg(min("doc_id").as("mn"))
+        keyed.join(mins, "k").filter(col("doc_id") =!= col("mn"))
+          .select(col("doc_id").as("src"), col("mn").as("dst"))
+      }
+      val edges = starEdges(substring(col("text"), 1, 24))
+        .unionByName(starEdges(col("n_chars")))
+      Dedup.dedupClusters(d, "doc_id", edges, "src", "dst").orderBy("doc_id")
+    }),
 
     // ------------------------------------------------------------------
     // D. crawl-specific + sketch + ANN operators (no ANSI-SQL equivalent →
@@ -649,6 +674,23 @@ object Demos {
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) " +
         "AS n_tokens FROM documents ORDER BY doc_id"),
+    // connected components re-derived sequentially: same two star-edge
+    // families, then a recursive-CTE reachability closure over the
+    // symmetrized edges; component id = min reachable vertex.
+    "dedup_clusters" ->
+      ("WITH RECURSIVE " +
+        "doc AS (SELECT doc_id, substr(text,1,24) AS k1, n_chars AS k2 FROM documents), " +
+        "g1 AS (SELECT k1, min(doc_id) AS mn FROM doc GROUP BY 1), " +
+        "g2 AS (SELECT k2, min(doc_id) AS mn FROM doc GROUP BY 1), " +
+        "e AS (SELECT d.doc_id AS src, g1.mn AS dst FROM doc d JOIN g1 USING (k1) " +
+        "WHERE d.doc_id <> g1.mn " +
+        "UNION SELECT d.doc_id AS src, g2.mn AS dst FROM doc d JOIN g2 USING (k2) " +
+        "WHERE d.doc_id <> g2.mn), " +
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
+        "reach(id, label) AS (SELECT doc_id, doc_id FROM doc " +
+        "UNION SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id) " +
+        "SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id " +
+        "ORDER BY doc_id"),
     // E1 expected-column oracle: the query canonicalizes an equivalence-
     // class variant (upper-cased scheme+host + fragment) of each corpus url;
     // the oracle independently states the expected fixed point — canonical

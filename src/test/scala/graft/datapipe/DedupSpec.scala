@@ -91,4 +91,83 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 3L)) == 0.0)
   }
+
+  // -------------------- connected components --------------------
+
+  /** Sequential union-find reference for component checking. */
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = (edges.flatMap(e => Seq(e._1, e._2)) ++ (0L until n)).distinct
+    verts.map(v => v -> find(v)).toMap
+  }
+
+  test("connectedComponents: 100-vertex chain contracts to one component in few rounds") {
+    import spark.implicits._
+    // worst case for label propagation (diameter 100); the alternating
+    // star algorithm must converge in O(log n)-ish rounds — maxIter=15
+    // would fail a propagation-style implementation loudly.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Dedup.connectedComponents(chain, maxIter = 15).collect()
+    assert(out.length == 100)
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("connectedComponents: matches union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 400L
+    val edges = Seq.fill(300)((rnd.nextLong().abs % n, rnd.nextLong().abs % n))
+      .filter(e => e._1 != e._2)
+    val expected = unionFind(0, edges) // only touched vertices
+    val out = Dedup.connectedComponents(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(out.keySet == touched.toSet)
+    touched.foreach { v => assert(out(v) == expected(v), s"vertex $v") }
+  }
+
+  test("connectedComponents: ring + star + duplicate/reversed edges; empty input") {
+    import spark.implicits._
+    val ring = (10L until 20L).map(i => (i, if (i == 19) 10L else i + 1))
+    val star = (1L to 5L).map(i => (100L, 100L + i))
+    val noise = Seq((11L, 10L), (10L, 11L), (101L, 100L)) // reversed + dup
+    val out = Dedup.connectedComponents((ring ++ star ++ noise).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L until 20L).forall(out(_) == 10L))
+    assert((Seq(100L) ++ (101L to 105L)).forall(out(_) == 100L))
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .isEmpty)
+  }
+
+  test("dedupClusters over minhashPairs: injected near-dups cluster to canonical id; " +
+      "unpaired docs are singletons") {
+    val near = docs.filter(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tail marker extra")))
+    val corpus = docs.unionByName(near)
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val byId = Dedup.dedupClusters(corpus, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.size == 600)
+    // the clustering must be EXACTLY the union-find closure of the pair set
+    // (docs in no pair are singletons — the corpus does contain some real
+    // near-dups among originals at threshold 0.5, so derive, don't assume)
+    val expected = unionFind(0, pairSet)
+    byId.foreach { case (id, c) =>
+      assert(c == expected.getOrElse(id, id), s"doc $id: $c vs expected")
+    }
+    // and the injected copies really did pair with their originals
+    val clustered = (0L until 100L).count(i => byId(i + 100000) == byId(i))
+    assert(clustered >= 95, s"clustered=$clustered") // minhash recall bound
+  }
 }

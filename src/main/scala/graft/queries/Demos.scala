@@ -85,6 +85,28 @@ object Demos {
   private def robotsFixture(dir: String): String =
     s"/tmp/graft-verify-fixtures/robots-${new java.io.File(dir).getName}"
 
+  /** Near-dup clusters over the documents table via distributed connected
+    * components, with two cross-cutting star-edge blocking families — text
+    * prefix (the near-dup relation this corpus actually carries) and exact
+    * length (an independent key standing in for a second signal, e.g. a
+    * simhash band) — so components merge TRANSITIVELY across families
+    * (multi-hop chains, max component 8 at sf0.01). SQL-reproducible keys
+    * on purpose: the DuckDB oracle recomputes the same components with a
+    * recursive-CTE reachability closure. (Production entry point is
+    * Dedup.dedupClusters over minhashPairs/simhashPairs output.) */
+  private def docClusters(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"), col("text"), col("n_chars"))
+    def starEdges(key: Column): DataFrame = {
+      val keyed = d.select(col("doc_id"), key.as("k"))
+      val mins = keyed.groupBy("k").agg(min("doc_id").as("mn"))
+      keyed.join(mins, "k").filter(col("doc_id") =!= col("mn"))
+        .select(col("doc_id").as("src"), col("mn").as("dst"))
+    }
+    val edges = starEdges(substring(col("text"), 1, 24))
+      .unionByName(starEdges(col("n_chars")))
+    Dedup.dedupClusters(d, "doc_id", edges, "src", "dst")
+  }
+
   /** The DuckDB-side url expression for the synthesized corpus. */
   private val duckUrl =
     "'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
@@ -306,29 +328,20 @@ object Demos {
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
 
-    // near-dup clustering: distributed connected components (alternating
-    // large-star/small-star) over two cross-cutting star-edge blocking
-    // families — text prefix (the near-dup relation this corpus actually
-    // carries) and exact length (an independent blocking key standing in
-    // for a second signal, e.g. a simhash band) — so components merge
-    // TRANSITIVELY across families (multi-hop chains, max component 8 at
-    // sf0.01). The DuckDB oracle recomputes the same components with a
-    // recursive-CTE reachability closure — a genuinely iterative
-    // distributed algorithm checked end-to-end against sequential SQL.
-    // (Production entry point is Dedup.dedupClusters over minhashPairs /
-    // simhashPairs output; those pair sets aren't SQL-expressible, so the
-    // duck-checked edge families are built from SQL-reproducible keys.)
-    "dedup_clusters" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars"))
-      def starEdges(key: Column): DataFrame = {
-        val keyed = d.select(col("doc_id"), key.as("k"))
-        val mins = keyed.groupBy("k").agg(min("doc_id").as("mn"))
-        keyed.join(mins, "k").filter(col("doc_id") =!= col("mn"))
-          .select(col("doc_id").as("src"), col("mn").as("dst"))
-      }
-      val edges = starEdges(substring(col("text"), 1, 24))
-        .unionByName(starEdges(col("n_chars")))
-      Dedup.dedupClusters(d, "doc_id", edges, "src", "dst").orderBy("doc_id")
+    // near-dup clustering: distributed connected components over
+    // cross-cutting blocking families — see docClusters above.
+    "dedup_clusters" -> ((s, dir) =>
+      docClusters(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // the consuming step: keep ONE representative per near-dup cluster —
+    // the deduplicated corpus a training pipeline writes out. Canonical =
+    // smallest doc_id in the cluster (deterministic, join-free to name:
+    // cluster_id IS the representative).
+    "dedup_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      docClusters(d).filter(col("doc_id") === col("cluster_id"))
+        .join(d.select(col("doc_id"), col("n_chars")), "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
     // ------------------------------------------------------------------
@@ -691,6 +704,22 @@ object Demos {
         "UNION SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id) " +
         "SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id " +
         "ORDER BY doc_id"),
+    // representatives: docs that are their own component minimum
+    "dedup_canonical" ->
+      ("WITH RECURSIVE " +
+        "doc AS (SELECT doc_id, substr(text,1,24) AS k1, n_chars AS k2 FROM documents), " +
+        "g1 AS (SELECT k1, min(doc_id) AS mn FROM doc GROUP BY 1), " +
+        "g2 AS (SELECT k2, min(doc_id) AS mn FROM doc GROUP BY 1), " +
+        "e AS (SELECT d.doc_id AS src, g1.mn AS dst FROM doc d JOIN g1 USING (k1) " +
+        "WHERE d.doc_id <> g1.mn " +
+        "UNION SELECT d.doc_id AS src, g2.mn AS dst FROM doc d JOIN g2 USING (k2) " +
+        "WHERE d.doc_id <> g2.mn), " +
+        "sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e), " +
+        "reach(id, label) AS (SELECT doc_id, doc_id FROM doc " +
+        "UNION SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id), " +
+        "comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT c.doc_id, d.n_chars FROM comp c JOIN documents d USING (doc_id) " +
+        "WHERE c.doc_id = c.cluster_id ORDER BY c.doc_id"),
     // E1 expected-column oracle: the query canonicalizes an equivalence-
     // class variant (upper-cased scheme+host + fragment) of each corpus url;
     // the oracle independently states the expected fixed point — canonical

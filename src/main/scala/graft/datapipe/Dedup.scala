@@ -236,11 +236,16 @@ object Dedup {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // no distinct here: duplicate (v, m) rows are neutral to the min
+      // aggregations below and the small-star distinct bounds the edge set
+      // at iteration end — one fewer full shuffle per round (wall-clock
+      // neutral at 12M edges in CCBench, where the per-round cost is
+      // dominated by the remaining shuffles; kept for the plan, not the
+      // sandbox number).
       val ls = sym.join(lsMin, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // small-star: u and all its (smaller) neighbors attach to u's min
       // neighbor — contracts each star one level toward the component min.
       val ssMin = ls.groupBy("src").agg(min("dst").as("m"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.datapipe.{Dedup, Multimodal, Similarity, TextStats}
+import graft.datapipe.{Dedup, LinkRank, Multimodal, Similarity, TextStats}
 import graft.datapipe.PipeFunctions._
 import graft.spider.{CrawlDriver, CrawlEngine}
 import graft.spider.core.{Corpus, CrawlConfig}
@@ -369,6 +369,18 @@ object Demos {
       pages(s, dir).select(col("url"),
         explode(extract_outlinks(col("html"))).as("outlink"))
         .orderBy("url", "outlink")),
+
+    // link-graph rank: PageRank over the host graph extracted from the
+    // corpus outlinks — the crawl-ordering / quality-prior signal. Fixed
+    // 10 iterations (deterministic); no ANSI-SQL oracle (iterative
+    // floating-point) — LinkRankSpec checks the operator against a
+    // sequential power-method reference at 1e-9.
+    "link_rank" -> ((s, dir) => {
+      val edges = pages(s, dir).select(url_host(col("url")).as("src_host"),
+          explode(extract_outlinks(col("html"))).as("out"))
+        .select(col("src_host"), url_host(col("out")).as("dst_host"))
+      LinkRank.hostRank(edges).orderBy("host")
+    }),
 
     // F1/E7: robots gate — DuckDB-checked (VERDICT r3 task #6): the rules
     // are hash-derived (not SQL-expressible), so the query materializes the

@@ -208,6 +208,35 @@ object Dedup {
     * cost, not a correctness risk. Fails fast (require) if `maxIter`
     * rounds pass without convergence rather than returning a partial
     * clustering. */
+  /** One alternating large-star + small-star contraction round — exposed
+    * (package-private) for the datapipe plan audit. Input and output edge
+    * sets are directed large → small; output is pre-checkpoint. */
+  private[datapipe] def alternatingStep(e: DataFrame): DataFrame = {
+    // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u}).
+    // After it, all edges point large → small again.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("src"), col("mn")).as("m"))
+    // no distinct here: duplicate (v, m) rows are neutral to the min
+    // aggregations below and the small-star distinct bounds the edge set
+    // at iteration end — one fewer full shuffle per round (wall-clock
+    // neutral at 12M edges in CCBench, where the per-round cost is
+    // dominated by the remaining shuffles; kept for the plan, not the
+    // sandbox number).
+    val ls = sym.join(lsMin, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // small-star: u and all its (smaller) neighbors attach to u's min
+    // neighbor — contracts each star one level toward the component min.
+    val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+    ls.join(ssMin, "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(ssMin.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   def connectedComponents(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
       maxIter: Int = 50): DataFrame = {
@@ -231,30 +260,7 @@ object Dedup {
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u}).
-      // After it, all edges point large → small again.
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("src"), col("mn")).as("m"))
-      // no distinct here: duplicate (v, m) rows are neutral to the min
-      // aggregations below and the small-star distinct bounds the edge set
-      // at iteration end — one fewer full shuffle per round (wall-clock
-      // neutral at 12M edges in CCBench, where the per-round cost is
-      // dominated by the remaining shuffles; kept for the plan, not the
-      // sandbox number).
-      val ls = sym.join(lsMin, "src")
-        .filter(col("dst") > col("src"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      // small-star: u and all its (smaller) neighbors attach to u's min
-      // neighbor — contracts each star one level toward the component min.
-      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
-      val next = ls.join(ssMin, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(ssMin.select(col("src"), col("m").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .localCheckpoint(true)
+      val next = alternatingStep(e).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

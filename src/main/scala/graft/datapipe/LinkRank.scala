@@ -33,6 +33,30 @@ import org.apache.spark.sql.functions._
   */
 object LinkRank {
 
+  /** One power-method iteration — exposed (package-private) for the
+    * datapipe plan audit: `e` must be the repartition(src)-ed persisted
+    * edge frame, `degrees`/`ranks` the (id, …, out_deg) frames. Returns
+    * the next (id, rank, out_deg) frame, pre-checkpoint. */
+  private[datapipe] def rankStep(
+      e: DataFrame, degrees: DataFrame, ranks: DataFrame,
+      n: Long, damping: Double, dangling: Double): DataFrame = {
+    // shuffle_hash hint on the rank side: build the hash table on the
+    // small (id, rank) frame and STREAM the edge cache — a sort-merge join
+    // would re-sort the 10^9-edge side every iteration (the audited plan
+    // shape: ShuffledHashJoin BuildRight, zero Exchange and zero Sort on
+    // the edge branch).
+    val contribs = e.join(
+        ranks.filter(col("out_deg") > 0L).hint("shuffle_hash"),
+        col("src") === col("id"))
+      .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
+      .groupBy("id").agg(sum(col("c")).as("in_sum"))
+    val base = (1.0 - damping) / n + damping * dangling / n
+    degrees.join(contribs, Seq("id"), "left")
+      .select(col("id"),
+        (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
+        col("out_deg"))
+  }
+
   /** PageRank over a directed edge list. Returns `(id, rank)` for every
     * vertex appearing as src or dst; ranks sum to 1. */
   def pageRank(
@@ -65,14 +89,7 @@ object LinkRank {
       // driver-side value the loop needs)
       val dangling = ranks.filter(col("out_deg") === 0L)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = e.join(ranks.filter(col("out_deg") > 0L), col("src") === col("id"))
-        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("in_sum"))
-      val base = (1.0 - damping) / n + damping * dangling / n
-      val next = degrees.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
-          col("out_deg"))
+      val next = rankStep(e, degrees, ranks, n, damping, dangling)
         .localCheckpoint(true)
       org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ranks)
         .foreach(_.unpersist(blocking = false))

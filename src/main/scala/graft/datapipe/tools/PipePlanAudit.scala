@@ -1,0 +1,118 @@
+package graft.datapipe.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.datapipe.{Dedup, LinkRank}
+
+/** Plan audit for the datapipe iterative operators (round 4) — verifies the
+  * scale claims their scaladoc makes, on real executed plans (AQE off for a
+  * deterministic static shape):
+  *
+  *  1. LinkRank: the persisted `repartition(src)` edge frame is joined each
+  *     iteration with ZERO Exchange above its InMemoryTableScan — only the
+  *     (small) rank side shuffles. Enforced with a tree walk, not a text
+  *     grep.
+  *  2. connectedComponents: the alternating-step plan contains no
+  *     cartesian/broadcast-nested-loop joins — every join and aggregation
+  *     is keyed by vertex id.
+  *
+  *   runMain graft.datapipe.tools.PipePlanAudit <outFile>
+  */
+object PipePlanAudit {
+
+  /** For every InMemoryTableScan in the plan: the number of
+    * ShuffleExchangeLike nodes strictly between the scan and its nearest
+    * JOIN ancestor (downstream shuffles — e.g. a later aggregation's
+    * exchange — must not count against the scan). 0 = the cache's
+    * partitioning fed the join directly. */
+  private def shufflesBetweenScanAndJoin(p: SparkPlan, since: Int = 0): Seq[Int] =
+    p match {
+      case _: InMemoryTableScanExec => Seq(since)
+      case s: ShuffleExchangeLike =>
+        s.children.flatMap(shufflesBetweenScanAndJoin(_, since + 1))
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.children.flatMap(shufflesBetweenScanAndJoin(_, 0)) // reset at joins
+      case other => other.children.flatMap(shufflesBetweenScanAndJoin(_, since))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val outFile = if (args.length > 0) args(0) else "/tmp/pipe-plans.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      // force the at-scale join shape: at audit volume the planner would
+      // happily broadcast the (tiny) edge cache, which is exactly the plan
+      // that does NOT exist at a 10^9-edge graph
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.driver.bindAddress", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def fmt(df: DataFrame): String =
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sb = new StringBuilder
+    sb.append("# Datapipe iterative-operator plans (round 4)\n")
+
+    // ---- LinkRank iteration: mirrors pageRank's setup exactly ----------
+    val edges = spark.range(100000).select(
+      pmod(xxhash64(col("id")), lit(20000L)).as("src"),
+      pmod(xxhash64(col("id"), lit(1)), lit(20000L)).as("dst"))
+    val e = edges.repartition(col("src")).persist()
+    e.count() // materialize the cache, as pageRank's first action would
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val n = verts.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val degrees = verts.join(outDeg, verts("id") === outDeg("src"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .localCheckpoint(true)
+    val ranks = degrees.select(col("id"), lit(1.0 / n).as("rank"), col("out_deg"))
+      .localCheckpoint(true)
+    val step = LinkRank.rankStep(e, degrees, ranks, n, 0.85, 0.0)
+
+    val counts = shufflesBetweenScanAndJoin(step.queryExecution.executedPlan)
+    System.err.println(fmt(step)) // evidence even when the requires fail
+    require(counts.nonEmpty,
+      "audit broken: no InMemoryTableScan (edge cache) found in the rank-step plan")
+    require(counts.forall(_ == 0),
+      s"edge cache re-shuffled in the rank step: shuffle depths $counts — " +
+        "the persisted repartition(src) partitioning is not being reused")
+    // the contribution join must STREAM the edge cache: a ShuffledHashJoin
+    // building on the rank side, with no per-iteration Sort of the edges
+    // (an SMJ would re-sort the 10^9-edge side every iteration)
+    val stepStr = step.queryExecution.executedPlan.toString
+    require(stepStr.contains("ShuffledHashJoin"),
+      "contribution join is not a ShuffledHashJoin — the edge side would be re-sorted per iteration")
+    sb.append("\n## LinkRank power iteration (edges cached under ")
+    sb.append("HashPartitioning(src), broadcast disabled to pin the at-scale ")
+    sb.append("join; VERIFIED: zero Exchange between the edge cache scan and ")
+    sb.append(s"the contribution join — ${counts.size} cache scan(s); ")
+    sb.append("the only shuffles are the rank side and the contribution agg)\n\n")
+    sb.append("```\n").append(fmt(step)).append("\n```\n")
+
+    // ---- connectedComponents alternating step --------------------------
+    val ccStep = Dedup.alternatingStep(
+      edges.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true))
+    val ccPlan = ccStep.queryExecution.executedPlan.toString
+    require(!ccPlan.contains("CartesianProduct") &&
+        !ccPlan.contains("BroadcastNestedLoop"),
+      "alternating step plan contains a non-keyed join")
+    sb.append("\n## connectedComponents alternating step (VERIFIED: no ")
+    sb.append("cartesian/nested-loop joins — every join/agg keyed by vertex id)\n\n")
+    sb.append("```\n").append(fmt(ccStep)).append("\n```\n")
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      sb.toString.getBytes("UTF-8"))
+    println(s"wrote $outFile (all plan audits passed)")
+    spark.stop()
+  }
+}

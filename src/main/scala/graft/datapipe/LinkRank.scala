@@ -97,14 +97,20 @@ object LinkRank {
       iter += 1
     }
     e.unpersist()
+    // the result depends only on the final (eager) ranks checkpoint — free
+    // the setup frames' blocks instead of waiting out the ContextCleaner
+    Seq(verts, degrees).foreach(df =>
+      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false)))
     ranks.select("id", "rank")
   }
 
   /** Host-graph rank from a page/outlink edge set expressed on strings:
-    * hashes hosts to stable 64-bit ids, ranks the host graph, and returns
-    * `(host, rank)` — the frontier-priority signal. Self-edges (intra-host
-    * links) are dropped: they dominate raw counts but carry no
-    * cross-host endorsement. */
+    * hashes hosts to stable 64-bit ids (xxhash64 — the engine's accepted
+    * 64-bit-collision stance, same as the url_hash seen keys), ranks the
+    * host graph, and returns `(host, rank)` — the frontier-priority
+    * signal. Self-edges (intra-host links) are dropped: they dominate raw
+    * counts but carry no cross-host endorsement. */
   def hostRank(
       hostEdges: DataFrame, srcCol: String = "src_host", dstCol: String = "dst_host",
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {

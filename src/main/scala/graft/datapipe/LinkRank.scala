@@ -36,10 +36,20 @@ object LinkRank {
   /** One power-method iteration — exposed (package-private) for the
     * datapipe plan audit: `e` must be the repartition(src)-ed persisted
     * edge frame, `degrees`/`ranks` the (id, …, out_deg) frames. Returns
-    * the next (id, rank, out_deg) frame, pre-checkpoint. */
+    * the next (id, rank, out_deg) frame, pre-checkpoint.
+    *
+    * The dangling mass is computed INSIDE the plan (1-row aggregate
+    * broadcast-crossed into the update) rather than as a per-iteration
+    * `head()` on the driver — one fewer explicit driver synchronization
+    * point per iteration (the broadcast subtree still materializes as a
+    * stage, so sandbox wall clock is NEUTRAL — measured both ways in
+    * BENCH/BASELINE.md; kept because it also removes the loop-carried
+    * driver-side scalar). */
   private[datapipe] def rankStep(
       e: DataFrame, degrees: DataFrame, ranks: DataFrame,
-      n: Long, damping: Double, dangling: Double): DataFrame = {
+      n: Long, damping: Double): DataFrame = {
+    val danglingDf = ranks.filter(col("out_deg") === 0L)
+      .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))
     // shuffle_hash hint on the rank side: build the hash table on the
     // small (id, rank) frame and STREAM the edge cache — a sort-merge join
     // would re-sort the 10^9-edge side every iteration (the audited plan
@@ -50,10 +60,13 @@ object LinkRank {
         col("src") === col("id"))
       .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("c"))
       .groupBy("id").agg(sum(col("c")).as("in_sum"))
-    val base = (1.0 - damping) / n + damping * dangling / n
+    // same FP association as the scalar form: ((1-d)/n) + ((d·mass)/n) + d·in
     degrees.join(contribs, Seq("id"), "left")
+      .crossJoin(broadcast(danglingDf))
       .select(col("id"),
-        (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * col("dangling_mass") / lit(n.toDouble) +
+          lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"),
         col("out_deg"))
   }
 
@@ -85,11 +98,7 @@ object LinkRank {
       .localCheckpoint(true)
     var iter = 0
     while (iter < iterations) {
-      // dangling mass this iteration (one small agg action — the only
-      // driver-side value the loop needs)
-      val dangling = ranks.filter(col("out_deg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val next = rankStep(e, degrees, ranks, n, damping, dangling)
+      val next = rankStep(e, degrees, ranks, n, damping)
         .localCheckpoint(true)
       org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ranks)
         .foreach(_.unpersist(blocking = false))

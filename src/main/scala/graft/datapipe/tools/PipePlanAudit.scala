@@ -75,7 +75,7 @@ object PipePlanAudit {
       .localCheckpoint(true)
     val ranks = degrees.select(col("id"), lit(1.0 / n).as("rank"), col("out_deg"))
       .localCheckpoint(true)
-    val step = LinkRank.rankStep(e, degrees, ranks, n, 0.85, 0.0)
+    val step = LinkRank.rankStep(e, degrees, ranks, n, 0.85)
 
     val counts = shufflesBetweenScanAndJoin(step.queryExecution.executedPlan)
     System.err.println(fmt(step)) // evidence even when the requires fail

@@ -63,44 +63,127 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
-  /** MinHash + LSH near-duplicate pairs: shingle → signature → band →
-    * bucket-join → exact-Jaccard verification.
-    * Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+  /** Exact-duplicate pre-collapse shared by the banded schemes: group the
+    * corpus on `keyExpr` (text hash for MinHash, the fingerprint itself for
+    * SimHash), elect the smallest id per group as representative, and emit
+    * the (representative, member) star edges that stand in for the group's
+    * C(m,2) within-group pairs. Returns (reps, starEdges):
+    *  - reps: one input row per distinct key (the representative's row);
+    *  - starEdges: (id_a = rep, id_b = member) for every non-representative.
     *
-    * Plan shape (matters at corpus scale): the shingle-hash array is
-    * materialized ONCE per row before the 64 per-permutation minima read it;
-    * the banded self-join and the pair `distinct` carry only (ids, band key)
-    * — never the shingle arrays — and the heavy shingle payload is joined
-    * back only for the surviving candidate pairs. */
-  def minhashPairs(
+    * Without this collapse a boilerplate-heavy web corpus — 10^6 copies of
+    * one template page — lands in the SAME bucket of EVERY band and the
+    * banded self-join materializes ~bands·10^12 candidate rows before any
+    * distinct. After it, an exact-duplicate group of any size contributes
+    * exactly one banded row and (m-1) star edges: candidate volume is
+    * O(distinct docs), never O(docs²). The star is closure-equivalent to
+    * the full within-group clique for the downstream consumer
+    * ([[dedupClusters]] / connected components); cross-group near-dup pairs
+    * are emitted at representative level, which again closes identically
+    * because every member has jaccard/hamming 0 to its representative. */
+  private def collapseExact(base: DataFrame, keyExpr: Column): (DataFrame, DataFrame) = {
+    val keyed = base.withColumn("__grp_key", keyExpr)
+    val groups = keyed.groupBy("__grp_key").agg(min(col("id")).as("__rep_id"))
+    val joined = keyed.join(groups, "__grp_key")
+    val reps = joined.filter(col("id") === col("__rep_id"))
+      .drop("__grp_key", "__rep_id")
+    val stars = joined.filter(col("id") =!= col("__rep_id"))
+      .select(col("__rep_id").as("id_a"), col("id").as("id_b"))
+    (reps, stars)
+  }
+
+  /** Cap a banded frame's hot buckets (embed_neardup's sub-split pattern,
+    * Similarity.embeddingNearDupPairs): buckets wider than `maxBucket` rows
+    * are sub-split by `subKeyCol` — a key from an INDEPENDENT hash family
+    * that near-duplicates still share with high probability, while the
+    * unrelated rows crowding a saturated bucket scatter across it. Buckets
+    * at or under the cap keep sub_bucket = 0 (recall untouched). The hot
+    * set is tiny by construction (≤ rows/maxBucket buckets), so it
+    * broadcasts. */
+  private def subSplitHot(banded: DataFrame, bucketCols: Seq[String],
+      subKeyCol: Column, maxBucket: Long): DataFrame = {
+    val hot = banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+    banded.join(broadcast(hot), bucketCols, "left")
+      .withColumn("sub_bucket",
+        when(col("__bucket_n").isNotNull, subKeyCol).otherwise(lit(0L)))
+      .drop("__bucket_n")
+  }
+
+  /** Rep-level MinHash-LSH candidate pairs (pre-verification) — exposed
+    * package-private for the plan audit and the candidate-volume spec. */
+  private[datapipe] def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      k: Int, numHashes: Int, bands: Int,
+      maxBucket: Long, subRows: Int): (DataFrame, DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // pre-collapse exact duplicates on the text hash (the same 64-bit-key
+    // stance as exactDedup and the crawl seen set)
+    val (reps0, stars) = collapseExact(all, xxhash64(col("text")))
+
+    val base = reps0
       .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
       // materialize the shingle hashes so the 64 array_min's share one array
       .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
       .withColumn("sig", array(permParams(numHashes).map { case (a, _) =>
         array_min(transform(col("sh_hashes"), h => xxhash64(h.bitwiseXOR(lit(a)))))
       }: _*))
+      // sub-split key: an extra `subRows`-hash band from permutations the
+      // signature does not use — an independent family, so rows that share
+      // a hot bucket by saturation (not similarity) scatter, while a true
+      // near-dup pair at Jaccard s still collides w.p. ~s^subRows
+      .withColumn("sub_key", xxhash64(concat_ws(",",
+        permParams(numHashes + subRows).drop(numHashes).map { case (a, _) =>
+          array_min(transform(col("sh_hashes"),
+            h => xxhash64(h.bitwiseXOR(lit(a))))).cast("string")
+        }: _*)))
 
-    val banded = base.select(col("id"),
+    val banded0 = base.select(col("id"), col("sub_key"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           j => xxhash64(concat_ws(",",
             transform(slice(col("sig"), j * rows + 1, lit(rows)), x => x.cast("string")))))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
+    val banded = subSplitHot(banded0, Seq("band_idx", "band_hash"),
+      col("sub_key"), maxBucket)
+      .select("id", "band_idx", "band_hash", "sub_bucket")
 
     val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band_idx", "band_hash"))
+      .join(banded.as("b"), Seq("band_idx", "band_hash", "sub_bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    (candidates, base.select(col("id"), col("shingles")), stars)
+  }
 
-    val sh = base.select(col("id"), col("shingles"))
+  /** MinHash + LSH near-duplicate pairs: exact-dup pre-collapse → shingle →
+    * signature → band → capped bucket-join → exact-Jaccard verification.
+    * Returns (id_a, id_b, jaccard) with jaccard ≥ threshold; exact-duplicate
+    * groups appear as (representative, member) star edges at jaccard 1.0 and
+    * cross-group pairs at representative level (closure-equivalent to the
+    * full pair set under [[dedupClusters]] — see [[collapseExact]]).
+    *
+    * Plan shape (matters at corpus scale): the shingle-hash array is
+    * materialized ONCE per row before the 64 per-permutation minima read it;
+    * the banded self-join and the pair `distinct` carry only (ids, band key,
+    * sub bucket) — never the shingle arrays — and the heavy shingle payload
+    * is joined back only for the surviving candidate pairs. Buckets wider
+    * than `maxBucket` are sub-split by an independent extra MinHash band
+    * ([[subSplitHot]]): within an oversized bucket a true pair at Jaccard s
+    * survives w.p. ~s^subRows per band — and near-dup pairs share many of
+    * the `bands` tables, so the miss probability compounds down; pairs in
+    * buckets at or under the cap are never dropped. */
+  def minhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Long = 10000L, subRows: Int = 2): DataFrame = {
+    val (candidates, sh, stars) = minhashCandidates(
+      df, idCol, textCol, k, numHashes, bands, maxBucket, subRows)
     candidates
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -109,6 +192,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .unionByName(stars.withColumn("jaccard", lit(1.0d)))
   }
 
   /** Block boundaries for the Manku-style scheme: `blocks` contiguous bit
@@ -132,7 +216,7 @@ object Dedup {
     * would otherwise grow linearly/quadratically with corpus size. */
   private[datapipe] def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Long = 10000L): (DataFrame, DataFrame) = {
     import PipeFunctions._
     require(maxHamming >= 1 && maxHamming <= 6,
       "blocks = maxHamming + 2 must stay within the 64-bit fingerprint")
@@ -144,34 +228,81 @@ object Dedup {
     }
     val combos = for (i <- 0 until blocks; j <- (i + 1) until blocks) yield (i, j)
 
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("simhash", simhash64(array_distinct(tokensCol(col("text")))))
-    val banded = base.select(col("id"), col("simhash"),
+    // pre-collapse identical fingerprints (hamming 0 by definition — every
+    // exact text duplicate, and any token-set duplicate, lands here): a
+    // 10^6-copy boilerplate group otherwise shares the bucket of EVERY
+    // two-block table and the self-join goes quadratic
+    val (reps, stars) = collapseExact(all, col("simhash"))
+
+    // per table (i, j): the bucket key packs the two blocks into disjoint
+    // 16-bit lanes; `subs` carries one (slot = block index, val = block
+    // value) probe per NON-combo block, used only if the bucket turns hot
+    val banded0 = reps.select(col("id"), col("simhash"),
       posexplode(array(combos.map { case (i, j) =>
-        // two ≤14-bit blocks packed into disjoint 16-bit lanes
-        shiftleft(block(i), 16).bitwiseOR(block(j))
+        val rest = (0 until blocks).filterNot(m => m == i || m == j)
+        struct(
+          shiftleft(block(i), 16).bitwiseOR(block(j)).as("key"),
+          array(rest.map(m =>
+            struct(lit(m).as("slot"), block(m).as("v"))): _*).as("subs"))
       }: _*)))
       .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+      .select(col("id"), col("simhash"), col("band_idx"),
+        col("col.key").as("band_key"), col("col.subs").as("subs"))
+
+    // hot-bucket sub-split (embed_neardup's cap pattern, multi-probe form):
+    // rows in buckets over `maxBucket` are re-keyed by EVERY non-combo
+    // block — a pair still meets if ANY block outside the combo is intact
+    // in ANY shared table. With blocks = k + 2 a pair within hamming k has
+    // ≥ 2 intact blocks; it can only be lost to the cap when it has EXACTLY
+    // 2 (one dirty bit in each of the k other blocks) AND its single intact
+    // table is saturated — for |intact| ≥ 3, some shared table keeps an
+    // intact non-combo block, so recall is unaffected. Cold buckets stay
+    // single-row (slot -1), so the fan-out prices only the hot set.
+    val hot = banded0.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > maxBucket)
+    val coldProbe = array(struct(lit(-1).as("slot"), lit(0L).as("v")))
+    val banded = banded0
+      .join(broadcast(hot), Seq("band_idx", "band_key"), "left")
+      .withColumn("probe", explode(
+        when(col("__bucket_n").isNotNull, col("subs")).otherwise(coldProbe)))
+      .select(col("id"), col("simhash"), col("band_idx"), col("band_key"),
+        col("probe.slot").as("sub_slot"), col("probe.v").as("sub_val"))
+
     val a = banded.select(col("band_idx"), col("band_key"),
+      col("sub_slot"), col("sub_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
+      col("sub_slot"), col("sub_val"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val candidates = a.join(b, Seq("band_idx", "band_key", "sub_slot", "sub_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    (candidates, stars)
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` (default 3):
-    * multi-table banded candidates (exact recall by pigeonhole — see
-    * [[simhashCandidates]]) verified with bit_count(xor). */
+    * multi-table banded candidates verified with bit_count(xor). Recall is
+    * exact by pigeonhole (see [[simhashCandidates]]) for every pair whose
+    * shared buckets are not oversized; identical fingerprints pre-collapse
+    * to (representative, member) star edges at hamming 0 (closure-equivalent
+    * under [[dedupClusters]]); buckets wider than `maxBucket` are sub-split
+    * by multi-probe over the non-combo fingerprint blocks, confining any
+    * recall loss to pairs with exactly 2 intact blocks whose single shared
+    * table is saturated (see [[simhashCandidates]]). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    simhashCandidates(df, idCol, textCol, maxHamming)
+      maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {
+    val (candidates, stars) =
+      simhashCandidates(df, idCol, textCol, maxHamming, maxBucket)
+    candidates
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+      .unionByName(stars.withColumn("hamming", lit(0))) // bit_count is INT
+  }
 
   // ------------------------------------------------------------------
   // Near-duplicate clustering: connected components over a pair set
@@ -275,6 +406,19 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds " +
         s"(edge signature still moving: $sig)")
+    // a (count, sum-of-hash) signature collision (~2^-64 per round) could
+    // stop the loop on a non-fixpoint and silently mis-cluster. The true
+    // fixpoint of the alternation is exactly a union of stars, so assert
+    // that shape loudly: one outgoing edge per src, and no vertex on both
+    // sides (a chain). Two cheap post-convergence aggregations.
+    require(e.groupBy("src").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).isEmpty,
+      "connectedComponents: converged edge set is not a star union " +
+        "(multiple roots per member — signature collision?)")
+    require(e.join(e.select(col("src").as("dst")).distinct(),
+      Seq("dst"), "left_semi").isEmpty,
+      "connectedComponents: converged edge set has chains " +
+        "(signature collision?)")
     // converged edge set is a union of stars (member, componentMin)
     e.select(col("src").as("id"), col("dst").as("cid"))
       .union(e.select(col("dst").as("id"), col("dst").as("cid")))

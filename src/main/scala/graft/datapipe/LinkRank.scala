@@ -71,12 +71,26 @@ object LinkRank {
   }
 
   /** PageRank over a directed edge list. Returns `(id, rank)` for every
-    * vertex appearing as src or dst; ranks sum to 1. */
+    * vertex appearing as src or dst; ranks sum to 1.
+    *
+    * `checkpointEvery` (r5 — the measured per-iteration driver-action floor,
+    * BENCH/BASELINE.md r4): only every j-th iteration materializes its
+    * checkpoint EAGERLY (a driver-blocking action); the iterations between
+    * use LAZY localCheckpoints. A lazy checkpoint still converts the frame
+    * to a LogicalRDD leaf at construction — plan depth stays bounded at one
+    * iteration, the iterative-lineage trap stays closed — but the driver no
+    * longer blocks per iteration: it constructs the whole window's plans
+    * up-front while the per-iteration dangling-mass broadcast jobs (which
+    * force each intermediate rank frame exactly once, caching it) chain
+    * asynchronously in the scheduler. Superseded rank frames' blocks are
+    * freed only at eager points, when the window is provably materialized. */
   def pageRank(
       edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 10, damping: Double = 0.85,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .repartition(col("src")) // persisted partitioning: iterations shuffle
@@ -97,11 +111,20 @@ object LinkRank {
     var ranks = degrees.select(col("id"), lit(1.0 / n).as("rank"), col("out_deg"))
       .localCheckpoint(true)
     var iter = 0
+    var pendingFree: List[DataFrame] = Nil
     while (iter < iterations) {
+      val eager = (iter + 1) % checkpointEvery == 0 || iter == iterations - 1
       val next = rankStep(e, degrees, ranks, n, damping)
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftColumnBridge.checkpointRdd(ranks)
-        .foreach(_.unpersist(blocking = false))
+        .localCheckpoint(eager)
+      pendingFree ::= ranks
+      if (eager) {
+        // the blocking materialization just completed → every lazy frame in
+        // the window is computed and nothing downstream reads it again
+        pendingFree.foreach(df =>
+          org.apache.spark.sql.GraftColumnBridge.checkpointRdd(df)
+            .foreach(_.unpersist(blocking = false)))
+        pendingFree = Nil
+      }
       ranks = next
       iter += 1
     }

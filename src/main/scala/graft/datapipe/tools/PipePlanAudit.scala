@@ -24,20 +24,43 @@ import graft.datapipe.{Dedup, LinkRank}
   */
 object PipePlanAudit {
 
-  /** For every InMemoryTableScan in the plan: the number of
+  /** For every InMemoryTableScan that HAS a join ancestor: the number of
     * ShuffleExchangeLike nodes strictly between the scan and its nearest
     * JOIN ancestor (downstream shuffles — e.g. a later aggregation's
     * exchange — must not count against the scan). 0 = the cache's
-    * partitioning fed the join directly. */
-  private def shufflesBetweenScanAndJoin(p: SparkPlan, since: Int = 0): Seq[Int] =
+    * partitioning fed the join directly. A cache scan with no join
+    * ancestor (feeding only an aggregation) is NOT emitted — counting the
+    * root-path shuffles against it would spuriously fail the ==0 audit
+    * (ADVICE r4 #5). */
+  private def shufflesBetweenScanAndJoin(p: SparkPlan, since: Int = 0,
+      underJoin: Boolean = false): Seq[Int] =
     p match {
-      case _: InMemoryTableScanExec => Seq(since)
+      case _: InMemoryTableScanExec => if (underJoin) Seq(since) else Nil
       case s: ShuffleExchangeLike =>
-        s.children.flatMap(shufflesBetweenScanAndJoin(_, since + 1))
+        s.children.flatMap(shufflesBetweenScanAndJoin(_, since + 1, underJoin))
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-        j.children.flatMap(shufflesBetweenScanAndJoin(_, 0)) // reset at joins
-      case other => other.children.flatMap(shufflesBetweenScanAndJoin(_, since))
+        j.children.flatMap(shufflesBetweenScanAndJoin(_, 0, underJoin = true))
+      case other =>
+        other.children.flatMap(shufflesBetweenScanAndJoin(_, since, underJoin))
     }
+
+  /** The joins that are the NEAREST join ancestor of an InMemoryTableScan —
+    * i.e. the join(s) actually consuming the edge cache. The SHJ assertion
+    * runs on exactly these, not on "any join in the plan". */
+  private def nearestJoinsOverCache(p: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.joins.BaseJoinExec] = {
+    def cacheNotUnderDeeperJoin(q: SparkPlan): Boolean = q match {
+      case _: InMemoryTableScanExec => true
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case o => o.children.exists(cacheNotUnderDeeperJoin)
+    }
+    p match {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        val deeper = j.children.flatMap(nearestJoinsOverCache)
+        if (j.children.exists(cacheNotUnderDeeperJoin)) deeper :+ j else deeper
+      case other => other.children.flatMap(nearestJoinsOverCache)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val outFile = if (args.length > 0) args(0) else "/tmp/pipe-plans.md"
@@ -86,10 +109,15 @@ object PipePlanAudit {
         "the persisted repartition(src) partitioning is not being reused")
     // the contribution join must STREAM the edge cache: a ShuffledHashJoin
     // building on the rank side, with no per-iteration Sort of the edges
-    // (an SMJ would re-sort the 10^9-edge side every iteration)
-    val stepStr = step.queryExecution.executedPlan.toString
-    require(stepStr.contains("ShuffledHashJoin"),
-      "contribution join is not a ShuffledHashJoin — the edge side would be re-sorted per iteration")
+    // (an SMJ would re-sort the 10^9-edge side every iteration). Asserted
+    // on the SPECIFIC join consuming the cache, not any join in the plan.
+    val cacheJoins = nearestJoinsOverCache(step.queryExecution.executedPlan)
+    require(cacheJoins.nonEmpty,
+      "audit broken: no join consumes the edge cache in the rank-step plan")
+    require(cacheJoins.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"the join over the edge cache is not a ShuffledHashJoin: " +
+        cacheJoins.map(_.nodeName).mkString(", "))
     sb.append("\n## LinkRank power iteration (edges cached under ")
     sb.append("HashPartitioning(src), broadcast disabled to pin the at-scale ")
     sb.append("join; VERIFIED: zero Exchange between the edge cache scan and ")

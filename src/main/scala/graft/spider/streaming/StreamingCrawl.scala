@@ -384,9 +384,17 @@ object StreamingCrawl {
               .parquet(hostsDir), Seq("host"), "left_anti")
             .write.mode("append").parquet(hostsDir)
           // the wave's Bloom delta (one blob to the driver — it IS the next
-          // wave's broadcast prefilter model, the batch A1 shape)
-          bloomDeltaOut.set(enq.agg(Sketches.shardedBloomAgg(col("url_hash"),
-            BloomShards, BloomPerShard, BloomFpp)).head().getAs[Array[Byte]](0))
+          // wave's broadcast prefilter model, the batch A1 shape).
+          // ACCUMULATE across micro-batches, don't replace: AvailableNow
+          // runs one batch per wave today, but under any future rate limit
+          // (maxFilesPerTrigger) a replaced earlier batch's hashes would
+          // vanish from the cross-wave Bloom — and rows failing
+          // might_contain bypass the exact anti-join entirely, so a lost
+          // hash re-admits an already-logged URL (ADVICE r4 #1).
+          val delta = enq.agg(Sketches.shardedBloomAgg(col("url_hash"),
+            BloomShards, BloomPerShard, BloomFpp)).head().getAs[Array[Byte]](0)
+          bloomDeltaOut.getAndUpdate(prev =>
+            if (prev == null) delta else Sketches.mergeShardedBlobs(prev, delta))
           val adm = o.filter(col("kind") === "admit")
           adm.select("host", "url", "url_hash", "wave", "rank_in_host", "sched_ms")
             .write.mode("append").parquet(admittedDir)

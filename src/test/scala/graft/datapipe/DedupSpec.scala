@@ -42,7 +42,8 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("simhashPairs: recall is exact for hamming<=3 (vs brute force on a sample)") {
+  test("simhashPairs: recall is exact for hamming<=3 (vs brute force on a sample, " +
+      "closure-equivalent under the identical-fingerprint star collapse)") {
     val sample = docs.filter(col("doc_id") < 120)
     val out = Dedup.simhashPairs(sample, "doc_id", "text", maxHamming = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
@@ -60,7 +61,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
     } yield (ia, ib, d.toLong)).toSet
-    assert(out == brute, s"engine=${out.size} brute=${brute.size}")
+    // precision: every engine pair is a true hamming<=3 pair
+    assert(out.subsetOf(brute),
+      s"spurious pairs: ${out.diff(brute).take(5)}")
+    // recall, closure form: identical-fingerprint groups are emitted as
+    // (rep, member) stars and cross-group pairs at rep level — the
+    // union-find closure must EQUAL the brute-force closure exactly
+    val ids = rows.map(_._1)
+    val cOut = unionFind(0, out.toSeq.map(p => (p._1, p._2)))
+    val cBrute = unionFind(0, brute.toSeq.map(p => (p._1, p._2)))
+    ids.foreach { v =>
+      assert(cOut.getOrElse(v, v) == cBrute.getOrElse(v, v),
+        s"closure mismatch at doc $v")
+    }
+    // and every cross-fingerprint brute pair appears at rep level
+    val repOf = rows.groupBy(_._2).values
+      .flatMap(g => g.map(x => x._1 -> g.map(_._1).min)).toMap
+    brute.foreach { case (a, b, d) =>
+      val (ra, rb) = (repOf(a), repOf(b))
+      if (ra != rb) {
+        val key = (math.min(ra, rb), math.max(ra, rb), d)
+        assert(out.contains(key), s"missing rep-level pair $key for ($a,$b,$d)")
+      }
+    }
   }
 
   test("simhash candidate count stays ~0 on 5000 distinct docs (26-bit composite keys)") {
@@ -70,9 +93,86 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // ~26-bit keys give E ≈ 10·C(5000,2)/2^26 ≈ 2.
     val synth = spark.range(5000).selectExpr("id as doc_id",
       "array_join(transform(sequence(0, 29), j -> concat('t', xxhash64(id, j) % 100000)), ' ') as text")
-    val candidates = Dedup.simhashCandidates(synth, "doc_id", "text", maxHamming = 3)
+    val candidates = Dedup.simhashCandidates(synth, "doc_id", "text", maxHamming = 3)._1
     val n = candidates.count()
     assert(n <= 50, s"expected ~0 spurious candidates on distinct docs, got $n")
+  }
+
+  // -------------------- hot-bucket caps (VERDICT r4 task 1) --------------
+
+  test("minhash: 10^4 identical docs collapse — zero banded candidates, " +
+      "star edges only (candidate volume O(docs), not O(docs^2))") {
+    // before the exact-dup pre-collapse this fixture put all 10^4 docs in
+    // the same bucket of all 16 bands → ~16·C(10^4,2) ≈ 8·10^8 candidate
+    // rows; the test itself would not terminate in reasonable time
+    val synth = spark.range(10000).selectExpr("id as doc_id",
+      "'the same boilerplate template page body text' as text")
+    val (candidates, _, stars) = Dedup.minhashCandidates(
+      synth, "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+      maxBucket = 10000L, subRows = 2)
+    assert(candidates.count() == 0L)
+    assert(stars.count() == 9999L)
+    val pairs = Dedup.minhashPairs(synth, "doc_id", "text").collect()
+    assert(pairs.length == 9999)
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+  }
+
+  test("minhash: forced sub-split (maxBucket=1) preserves near-dup recall") {
+    val near = docs.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" tail marker extra")))
+    val found = Dedup.minhashPairs(docs.unionByName(near), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.5,
+        maxBucket = 1L, subRows = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L).map(i => (i, i + 100000)).toSet
+    val recall = expected.count(found).toDouble / expected.size
+    // every 2-wide bucket is "hot" at maxBucket=1 → every pair must survive
+    // the independent-family sub-split in at least one of its shared bands
+    assert(recall >= 0.9, s"recall=$recall under forced sub-split")
+  }
+
+  test("simhash: identical-fingerprint docs collapse to star edges at hamming 0") {
+    val synth = spark.range(5000).selectExpr("id as doc_id",
+      "'constant boilerplate token soup page' as text")
+    val (candidates, stars) =
+      Dedup.simhashCandidates(synth, "doc_id", "text", maxHamming = 3)
+    assert(candidates.count() == 0L)
+    assert(stars.count() == 4999L)
+    val pairs = Dedup.simhashPairs(synth, "doc_id", "text").collect()
+    assert(pairs.length == 4999)
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getAs[Number](2).longValue == 0L))
+  }
+
+  test("simhash: forced sub-split (maxBucket=1) loses ONLY the documented corner " +
+      "(pairs with exactly 2 intact blocks); >=3 intact blocks always survive") {
+    val sample = docs.filter(col("doc_id") < 120)
+    val near = sample.withColumn("doc_id", col("doc_id") + 100000)
+      .withColumn("text", concat(col("text"), lit(" zz")))
+    val corpus = sample.unionByName(near)
+    val fps = corpus.select(col("doc_id"),
+        graft.datapipe.PipeFunctions.simhash64(
+          array_distinct(Dedup.tokensCol(col("text")))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // blocks = maxHamming + 2 = 5; widths 13,13,13,13,12 (Dedup.blockRanges)
+    val ranges = Seq((0, 13), (13, 13), (26, 13), (39, 13), (52, 12))
+    def intactBlocks(a: Long, b: Long): Int = {
+      val x = a ^ b
+      ranges.count { case (off, w) => ((x >>> off) & ((1L << w) - 1L)) == 0L }
+    }
+    val baseline = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3,
+      maxBucket = 1L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(baseline), "cap must not invent pairs")
+    // the multi-probe sub-split guarantee: a pair with >= 3 intact blocks
+    // keeps an intact non-combo block in some shared table — NEVER lost
+    baseline.diff(capped).foreach { case (a, b) =>
+      val n = intactBlocks(fps(a), fps(b))
+      assert(n == 2, s"pair ($a,$b) with $n intact blocks lost to the cap")
+    }
+    baseline.filter(p => intactBlocks(fps(p._1), fps(p._2)) >= 3).foreach { p =>
+      assert(capped.contains(p), s"pair $p with >=3 intact blocks missing")
+    }
   }
 
   test("shingles: short texts yield one whole-text shingle") {

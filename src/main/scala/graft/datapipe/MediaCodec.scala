@@ -2,12 +2,14 @@ package graft.datapipe
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM codecs for the two uncompressed container formats a sandboxed
-  * pipeline can decode without native media libraries (VERDICT r2 task #8):
-  * BMP (24-bit uncompressed, the canonical bottom-up BGR layout) and WAV
-  * (RIFF PCM16). These make the multimodal batched-decode scaffold REAL for
-  * media that uses them; compressed formats (JPEG/MP3/H.264) remain behind
-  * the declared stub — their codecs do not ship in this container.
+/** Pure-JVM codecs for the container formats a sandboxed pipeline can
+  * decode without native media libraries (VERDICT r2 task #8; PNG r4 #7):
+  * BMP (24-bit uncompressed, the canonical bottom-up BGR layout), PNG
+  * (8-bit gray/RGB/RGBA, deflate via java.util.zip, all five scanline
+  * filters) and WAV (RIFF PCM16). These make the multimodal batched-decode
+  * scaffold REAL for media that uses them; remaining compressed formats
+  * (JPEG/MP3/H.264) stay behind the declared stub — their codecs do not
+  * ship in this container.
   *
   * Encoders exist so tests and fixtures can synthesize byte-exact media
   * deterministically; decoders parse the headers for real (size fields,
@@ -26,10 +28,18 @@ object MediaCodec {
     def durationMs: Long = nFrames * 1000L / sampleRate
   }
 
+  /** Decoded PNG: row-major, top-down, `channels` bytes per pixel in the
+    * file's sample order (G / RGB / RGBA for color types 0 / 2 / 6). */
+  case class Png(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
   sealed trait Sniffed
   case object IsBmp extends Sniffed
   case object IsWav extends Sniffed
+  case object IsPng extends Sniffed
   case object Opaque extends Sniffed
+
+  private val PngSig =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
 
   /** Container detection by magic bytes. */
   def sniff(bytes: Array[Byte]): Sniffed =
@@ -37,6 +47,7 @@ object MediaCodec {
     else if (bytes.length >= 44 && bytes(0) == 'R' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') IsWav
+    else if (bytes.length >= 8 + 25 && PngSig.indices.forall(i => bytes(i) == PngSig(i))) IsPng
     else Opaque
 
   // ---------------------------------------------------------------- BMP --
@@ -104,6 +115,150 @@ object MediaCodec {
       y += 1
     }
     Bmp(width, height, out)
+  }
+
+  // ---------------------------------------------------------------- PNG --
+  // Pure-JVM via java.util.zip (Deflater/Inflater/CRC32) — the compressed
+  // format a real multimodal corpus hits first (VERDICT r4 task #7). Scope:
+  // 8-bit gray / truecolor / truecolor+alpha (color types 0/2/6), no
+  // interlace; all five scanline filters are unfiltered on decode. Chunk
+  // CRCs are VERIFIED — malformed input fails loudly, never mis-decodes.
+
+  private def pngChunk(kind: String, data: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(12 + data.length) // PNG ints are BIG-endian
+    buf.putInt(data.length).put(kind.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(kind.getBytes("US-ASCII"))
+    crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** 8-bit truecolor (color type 2) PNG from (x, y) → (r, g, b); every
+    * scanline uses filter 0 (None) — decoders must accept any filter, so
+    * tests exercise the other four via hand-built streams. */
+  def encodePng(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val row = y * (1 + width * 3)
+      raw(row) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        raw(row + 1 + x * 3) = r.toByte
+        raw(row + 2 + x * 3) = g.toByte
+        raw(row + 3 + x * 3) = b.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8: Byte).put(2: Byte)
+      .put(0: Byte).put(0: Byte).put(0: Byte).array()
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Parse + inflate + unfilter a PNG (8-bit, color type 0/2/6, no
+    * interlace). CRCs verified per chunk. */
+  def decodePng(bytes: Array[Byte]): Png = {
+    require(sniff(bytes) == IsPng, "not a PNG payload")
+    val buf = ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var width = -1; var height = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG chunk at $pos (len $len)")
+      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"PNG chunk $kind CRC mismatch at $pos")
+      kind match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          width = buf.getInt(pos + 8)
+          height = buf.getInt(pos + 12)
+          val bitDepth = bytes(pos + 16)
+          val colorType = bytes(pos + 17)
+          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (8 only)")
+          channels = colorType match {
+            case 0 => 1
+            case 2 => 3
+            case 6 => 4
+            case t => throw new IllegalArgumentException(
+              s"unsupported PNG color type $t (gray/RGB/RGBA only)")
+          }
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            "unsupported PNG compression/filter method")
+          require(bytes(pos + 20) == 0, "interlaced PNG not supported")
+          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+            s"implausible PNG dimensions ${width}x$height")
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => sawEnd = true
+        case _      => // ancillary chunk — skip
+      }
+      pos += 12 + len
+    }
+    require(width > 0, "PNG missing IHDR")
+    require(sawEnd, "PNG missing IEND")
+    val stride = width * channels
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || inflater.finished(),
+        "PNG IDAT stream ended early (corrupt or truncated deflate data)")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length,
+      s"PNG pixel data short: $off of ${raw.length} bytes")
+    // unfilter scanlines in place into the output
+    val out = new Array[Byte](height * stride)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < height) {
+      val ft = raw(y * (1 + stride)) & 0xff
+      val src = y * (1 + stride) + 1
+      val dst = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= channels) out(dst + i - channels) & 0xff else 0 // left
+        val b = if (y > 0) out(dst - stride + i) & 0xff else 0           // up
+        val c = if (y > 0 && i >= channels) out(dst - stride + i - channels) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 => x + paeth(a, b, c)
+          case t => throw new IllegalArgumentException(s"bad PNG filter type $t at row $y")
+        }
+        out(dst + i) = v.toByte
+        i += 1
+      }
+      y += 1
+    }
+    Png(width, height, channels, out)
   }
 
   // ---------------------------------------------------------------- WAV --

@@ -9,10 +9,11 @@ import graft.spider.core.Hash64
   * metadata, plus the decode / feature-extract plumbing a training-data
   * pipeline needs.
   *
-  * Decode is REAL for the uncompressed container formats a pure JVM can
-  * parse — BMP (24-bit) and WAV (PCM16), see [[MediaCodec]] — with decoded
-  * dimensions / sample counts surfaced in the output and features computed
-  * from actual pixels / samples. Compressed formats stay behind the
+  * Decode is REAL for the container formats a pure JVM can parse — BMP
+  * (24-bit), PNG (8-bit gray/RGB/RGBA via java.util.zip.Inflater) and WAV
+  * (PCM16), see [[MediaCodec]] — with decoded dimensions / sample counts
+  * surfaced in the output and features computed from actual pixels /
+  * samples. Remaining compressed formats (JPEG/MP3/H.264) stay behind the
   * deterministic `decodeStub` (their codecs do not ship in this
   * container), clearly tagged `codec = "opaque"`. Everything around the
   * dispatch is the same load-bearing scaffold either way — the schema, the
@@ -26,8 +27,8 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, duration_ms: Long, mime: String)
 
-  /** `codec` ∈ bmp|wav|opaque; decoded_w/decoded_h (images) and n_samples
-    * (audio) are -1 where not applicable. */
+  /** `codec` ∈ bmp|png|wav|opaque; decoded_w/decoded_h (images) and
+    * n_samples (audio) are -1 where not applicable. */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
       feature: Array[Float], codec: String, decoded_w: Int, decoded_h: Int,
       n_samples: Long)
@@ -54,11 +55,16 @@ object Multimodal {
         case "image" =>
           val w = (Hash64.pmod(Hash64.string(s"$id-w"), 24L) + 8).toInt
           val hh = (Hash64.pmod(Hash64.string(s"$id-h"), 24L) + 8).toInt
-          val bytes = MediaCodec.encodeBmp(w, hh, (x, y) => {
+          def px(x: Int, y: Int): (Int, Int, Int) = {
             val p = Hash64.string(s"$id:$x:$y")
             (((p >>> 16) & 0xff).toInt, ((p >>> 8) & 0xff).toInt, (p & 0xff).toInt)
-          })
-          MediaRow(id, kind, bytes, w, hh, -1L, "image/bmp")
+          }
+          // alternate containers by id hash: half BMP, half PNG — both real
+          // decode paths downstream (same pixel function either way)
+          if (Hash64.pmod(Hash64.string(s"$id-c"), 2L) == 0L)
+            MediaRow(id, kind, MediaCodec.encodeBmp(w, hh, px), w, hh, -1L, "image/bmp")
+          else
+            MediaRow(id, kind, MediaCodec.encodePng(w, hh, px), w, hh, -1L, "image/png")
         case "audio" =>
           val rate = 8000
           val n = (Hash64.pmod(Hash64.string(s"$id-n"), 4000L) + 1000).toInt
@@ -121,6 +127,25 @@ object Multimodal {
     out
   }
 
+  /** PNG features: reorder decoded RGB(A) samples to the BMP channel layout
+    * (B,G,R; alpha dropped, gray broadcast) and reuse [[bmpFeatures]] — one
+    * feature semantics across image containers. */
+  private[datapipe] def pngFeatures(png: MediaCodec.Png, dim: Int): Array[Float] = {
+    val n = png.width * png.height
+    val bgr = new Array[Byte](n * 3)
+    var i = 0
+    while (i < n) {
+      val base = i * png.channels
+      val (r, g, b) = png.channels match {
+        case 1 => val v = png.pixels(base); (v, v, v)
+        case _ => (png.pixels(base), png.pixels(base + 1), png.pixels(base + 2))
+      }
+      bgr(i * 3) = b; bgr(i * 3 + 1) = g; bgr(i * 3 + 2) = r
+      i += 1
+    }
+    bmpFeatures(MediaCodec.Bmp(png.width, png.height, bgr), dim)
+  }
+
   /** Audio features from decoded samples: RMS, zero-crossing rate, then a
     * mean-|amplitude| envelope over the remaining dims. */
   private[datapipe] def wavFeatures(wav: MediaCodec.Wav, dim: Int): Array[Float] = {
@@ -166,6 +191,10 @@ object Multimodal {
               val img = MediaCodec.decodeBmp(r.bytes)
               MediaFeatures(r.media_id, r.kind, r.bytes.length,
                 bmpFeatures(img, dim), "bmp", img.width, img.height, -1L)
+            case MediaCodec.IsPng =>
+              val png = MediaCodec.decodePng(r.bytes)
+              MediaFeatures(r.media_id, r.kind, r.bytes.length,
+                pngFeatures(png, dim), "png", png.width, png.height, -1L)
             case MediaCodec.IsWav =>
               val wav = MediaCodec.decodeWav(r.bytes)
               MediaFeatures(r.media_id, r.kind, r.bytes.length,

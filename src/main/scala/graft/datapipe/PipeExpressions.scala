@@ -46,16 +46,14 @@ case class SimHashExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** Winnowing-style document fingerprint: Rabin-Karp rolling hash over the
-  * UTF-8 bytes with window w; returns the minimum window hash (a stable,
-  * shift-tolerant content fingerprint). */
-case class RollingFingerprintExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "doc_fingerprint"
-  override protected def nullSafeEval(text: Any, window: Any): Any = {
-    val bytes = text.asInstanceOf[UTF8String].getBytes
-    val w = window.asInstanceOf[Int]
+/** Shared pure-Scala kernels — ONE implementation of each semantics, used
+  * by both the Catalyst expression (distributed execution) and the
+  * single-threaded oracle replays that feed the DuckDB fixture checks (the
+  * extract_text pattern: one impl, two executions). */
+object TextKernels {
+  /** Winnowing-style fingerprint: Rabin-Karp rolling hash over UTF-8 bytes
+    * with window `w`; the minimum mixed window hash. */
+  def rollingFingerprint(bytes: Array[Byte], w: Int): Long = {
     if (bytes.length == 0) return 0L
     if (bytes.length <= w) return Hash64.string(new String(bytes, "UTF-8"))
     val B = 1000003L
@@ -80,6 +78,19 @@ case class RollingFingerprintExpr(left: Expression, right: Expression)
     h ^= h >>> 33
     h
   }
+}
+
+/** Winnowing-style document fingerprint: Rabin-Karp rolling hash over the
+  * UTF-8 bytes with window w; returns the minimum window hash (a stable,
+  * shift-tolerant content fingerprint). Kernel shared with the oracle
+  * replay: [[TextKernels.rollingFingerprint]]. */
+case class RollingFingerprintExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(text: Any, window: Any): Any =
+    TextKernels.rollingFingerprint(
+      text.asInstanceOf[UTF8String].getBytes, window.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RollingFingerprintExpr =
     copy(left = l, right = r)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.datapipe.{Dedup, LinkRank, Multimodal, Similarity, TextStats}
 import graft.datapipe.PipeFunctions._
 import graft.spider.{CrawlDriver, CrawlEngine}
-import graft.spider.core.{Corpus, CrawlConfig}
+import graft.spider.core.{Corpus, CrawlConfig, Hash64, HtmlCodec, UrlCanonical}
 import graft.spider.expr.SpiderFunctions._
 import graft.spider.sketch.Sketches
 import graft.spider.synth.PagesSynth
@@ -73,17 +73,116 @@ object Demos {
   def prewarm(s: SparkSession, dir: String): Unit = {
     pages(s, dir)
     sharedCrawl(s, dir)
+    recrawlCrawl(s, dir)
+    ensureRobotsFixture(s, dir)
+    ensureCrawlFixtures(s, dir)
+    ensureFixture("oraclerecrawl", dir)(p => writeCrawlLogFixture(s, dir, recrawlCfg, p))
     bucketedPages(s, dir) // the one-time CorpusStore write is fixture setup,
     ()                    // not what the corpus_bucketed demo measures
   }
 
-  /** Fixture parquet dir for oracles over tables DuckDB cannot derive (the
-    * hash-derived robots rules): written by the query itself, read back by
-    * the oracle SQL via `read_parquet`. Keyed by the sf basename so a bench
-    * run at another sf cannot clobber the verify run's fixture; the static
-    * oracle SQL references the driver's verify sf (0.01). */
-  private def robotsFixture(dir: String): String =
-    s"/tmp/graft-verify-fixtures/robots-${new java.io.File(dir).getName}"
+  /** Fixture parquet dir for oracles over data DuckDB cannot derive itself:
+    * hash-derived tables (robots rules) and single-threaded oracle replays
+    * (the CrawlOracle crawl log / counters, shared-kernel expected columns —
+    * the extract_text "one implementation, two executions" trust model,
+    * surfaced through the driver's independent DuckDB compare). Written by
+    * the consuming query (and by prewarm, outside any timed region), read
+    * back by the oracle SQL via `read_parquet`. Keyed by the sf basename so
+    * a bench run at another sf cannot clobber the verify run's fixture; the
+    * static oracle SQL references the driver's verify sf (0.01). */
+  private def fixturePath(name: String, dir: String): String =
+    s"/tmp/graft-verify-fixtures/$name-${new java.io.File(dir).getName}"
+
+  /** Write-once-per-JVM: fixture content is a pure function of sfDir, so
+    * later callers (e.g. inside Bench's timed region) skip the coalesce(1)
+    * write instead of re-paying — and re-overwriting mid-read — it. */
+  private val writtenFixtures = scala.collection.concurrent.TrieMap[String, Unit]()
+  private def ensureFixture(name: String, dir: String)(write: String => Unit): Unit =
+    writtenFixtures.getOrElseUpdate(fixturePath(name, dir),
+      write(fixturePath(name, dir)))
+
+  /** Robots rules recomputed in PLAIN SCALA from the shared Corpus core —
+    * independent of the Spark synth path the engine queries use, so the
+    * scan_robots / robots_filter DuckDB rows check the distributed synth
+    * against the single-threaded core. */
+  private def ensureRobotsFixture(s: SparkSession, dir: String): Unit =
+    ensureFixture("robots", dir) { p =>
+      import s.implicits._
+      oracleDocs(s, dir).map(_.source).distinct.sorted
+        .map(src => s"$src.example.com")
+        .map(h => (h, Corpus.robotsDisallow(h), Corpus.crawlDelayMs(h)))
+        .toDF("host", "disallow_prefixes", "crawl_delay_ms")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** documents rows collected once per (session, sf) — the single-threaded
+    * oracle replays (CrawlOracle, shared kernels) run over these. */
+  private val oracleDocsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[graft.spider.CrawlOracle.Doc]]()
+  private def oracleDocs(s: SparkSession, dir: String): Seq[graft.spider.CrawlOracle.Doc] =
+    oracleDocsCache.getOrElseUpdate((s, dir),
+      t(s, dir, "documents").select("doc_id", "text", "lang", "source").collect()
+        .map(r => graft.spider.CrawlOracle.Doc(
+          r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq)
+
+  /** CrawlOracle runs cached per (session, sf, rounds, recrawlEvery). */
+  private val oracleCrawlCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int), graft.spider.CrawlOracle.Result]()
+  private def oracleCrawlRes(s: SparkSession, dir: String,
+      cfg: CrawlConfig): graft.spider.CrawlOracle.Result =
+    oracleCrawlCache.getOrElseUpdate((s, dir, cfg.rounds, cfg.recrawlEvery), {
+      val docs = oracleDocs(s, dir)
+      graft.spider.CrawlOracle.run(
+        graft.spider.CrawlOracle.synthPages(docs),
+        graft.spider.CrawlOracle.seeds(docs, cfg), cfg)
+    })
+
+  /** Oracle crawl log → fixture parquet (engine crawled-table schema). */
+  private def writeCrawlLogFixture(s: SparkSession, dir: String,
+      cfg: CrawlConfig, path: String): Unit = {
+    import s.implicits._
+    oracleCrawlRes(s, dir, cfg).crawled
+      .map(c => (c.url, c.urlHash, c.host, c.round, c.rankInHost,
+        c.fetchTsMicros, c.text, c.lang, c.nLinks))
+      .toDF("url", "url_hash", "host", "round", "rank_in_host",
+        "fetch_us", "text", "lang", "n_links")
+      .withColumn("fetch_ts", timestamp_micros(col("fetch_us"))).drop("fetch_us")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Oracle counters (incl. the round-0 seed commit row the engine writes)
+    * → fixture parquet. */
+  private def writeCountersFixture(s: SparkSession, dir: String,
+      cfg: CrawlConfig, path: String): Unit = {
+    import s.implicits._
+    val res = oracleCrawlRes(s, dir, cfg)
+    val nSeeds = graft.spider.CrawlOracle.seeds(oracleDocs(s, dir), cfg).size.toLong
+    val seedRow = graft.spider.core.RoundCounters(
+      0, 0, 0, 0, 0, 0, 0, nSeeds, 0, nSeeds, nSeeds)
+    (seedRow +: res.counters).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The flagship crawl keys' fixtures (VERDICT r4 task #2): the oracle's
+    * crawl log + counters at the sharedCrawl config. */
+  private def ensureCrawlFixtures(s: SparkSession, dir: String): Unit = {
+    ensureFixture("oraclecrawl", dir)(p =>
+      writeCrawlLogFixture(s, dir, CrawlConfig(rounds = 3), p))
+    ensureFixture("oraclecounters", dir)(p =>
+      writeCountersFixture(s, dir, CrawlConfig(rounds = 3), p))
+  }
+
+  /** ONE shared timed-recrawl catalog per (session, sfDir) — the versioned
+    * crawl log the recrawl_requeue demo reads (5 rounds, recrawlEvery 3:
+    * round-1 fetches are re-admitted at the end of round 3 and re-fetched
+    * from round 4 on, so the log carries real (url, round) versions). */
+  private val recrawlCfg = CrawlConfig(rounds = 5, recrawlEvery = 3)
+  private val recrawlCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), graft.spider.state.CrawlCatalog]()
+  private def recrawlCrawl(s: SparkSession, dir: String): graft.spider.state.CrawlCatalog =
+    recrawlCache.getOrElseUpdate((s, dir),
+      CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, recrawlCfg),
+        PagesSynth.robots(s, dir), recrawlCfg, tmpDir("graft-q-recrawl-")))
 
   /** Near-dup clusters over the documents table via distributed connected
     * components, with two cross-cutting star-edge blocking families — text
@@ -133,7 +232,8 @@ object Demos {
 
     // E5: extraction inverts the wrap byte-for-byte ⇒ equals documents.text
     "extract_text" -> ((s, dir) =>
-      pages(s, dir).select(col("url"), extract_text(col("html")).as("text"))
+      pages(s, dir).select(col("url"),
+        extract_text(col("html"), url_host(col("url"))).as("text"))
         .orderBy("url")),
 
     // E2: host component via built-in parse_url
@@ -185,11 +285,16 @@ object Demos {
         .orderBy("url")),
 
     // S4: robots rules table (hash-derived → rows-only)
-    "scan_robots" -> ((s, dir) =>
+    // S4: the robots source vs the PLAIN-SCALA shared-core fixture (the
+    // rules are hash-derived, so DuckDB replays them from the fixture the
+    // single-threaded core wrote — independent of the Spark synth path)
+    "scan_robots" -> ((s, dir) => {
+      ensureRobotsFixture(s, dir)
       PagesSynth.robots(s, dir).toDF()
         .select(col("host"), size(col("disallow_prefixes")).cast("long").as("n_disallow"),
           col("crawl_delay_ms"))
-        .orderBy("host")),
+        .orderBy("host")
+    }),
 
     // F3: scope filter (allowed-host whitelist)
     "scope_filter" -> ((s, dir) =>
@@ -359,16 +464,36 @@ object Demos {
         .withColumn("matches", col("canonical") === col("url"))
         .orderBy("url")),
 
-    // E3/E4: 64-bit hashing
-    "url_hash64" -> ((s, dir) =>
+    // E3/E4: 64-bit hashing — oracle: expected columns recomputed in plain
+    // Scala by the shared Hash64/UrlCanonical core (xxhash64 seed 42)
+    "url_hash64" -> ((s, dir) => {
+      ensureFixture("oraclehash64", dir) { p =>
+        import s.implicits._
+        oracleDocs(s, dir).map { d =>
+          val url = Corpus.urlOf(d.source, d.docId)
+          (url, Hash64.string(url), Hash64.string(UrlCanonical.host(url)))
+        }.toDF("url", "url_hash", "host_hash")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
       pages(s, dir).select(col("url"), xxhash64(col("url")).as("url_hash"),
-        xxhash64(expr("parse_url(url, 'HOST')")).as("host_hash")).orderBy("url")),
+        xxhash64(expr("parse_url(url, 'HOST')")).as("host_hash")).orderBy("url")
+    }),
 
-    // E6/G1: outlink extraction + explode
-    "extract_outlinks" -> ((s, dir) =>
+    // E6/G1: outlink extraction + explode — oracle: the single-threaded
+    // shared-core extractor replayed over the oracle corpus (one impl,
+    // two executions; the DuckDB row checks the distributed path)
+    "extract_outlinks" -> ((s, dir) => {
+      ensureFixture("oracleoutlinks", dir) { p =>
+        import s.implicits._
+        graft.spider.CrawlOracle.synthPages(oracleDocs(s, dir))
+          .flatMap(pg => HtmlCodec.extractOutlinks(pg.html).map(o => (pg.url, o)))
+          .toDF("url", "outlink")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
       pages(s, dir).select(col("url"),
         explode(extract_outlinks(col("html"))).as("outlink"))
-        .orderBy("url", "outlink")),
+        .orderBy("url", "outlink")
+    }),
 
     // link-graph rank: PageRank over the host graph extracted from the
     // corpus outlinks — the crawl-ordering / quality-prior signal. Fixed
@@ -388,18 +513,23 @@ object Demos {
     // (join + longest-prefix disallow + count) independently over it.
     "robots_filter" -> ((s, dir) => {
       val robots = PagesSynth.robots(s, dir).toDF()
-      robots.coalesce(1).write.mode("overwrite").parquet(robotsFixture(dir))
+      ensureRobotsFixture(s, dir)
       pages(s, dir).select(col("url"), expr("parse_url(url, 'HOST')").as("host"))
         .join(broadcast(robots), Seq("host"))
         .filter(robots_allows(col("url"), col("disallow_prefixes")))
         .groupBy("host").agg(count(lit(1)).as("n_allowed")).orderBy("host")
     }),
 
-    // A5 approx variant
+    // A5 approx variant — duck-checkable form: the exact count plus a
+    // bounded-relative-error predicate on the HLL++ estimate (the estimate
+    // itself is impl-specific; the BOUND is the checkable contract)
     "approx_distinct" -> ((s, dir) =>
       pages(s, dir).agg(
         approx_count_distinct(col("url")).as("approx_urls"),
-        countDistinct(col("url")).as("exact_urls"))),
+        countDistinct(col("url")).as("exact_urls"))
+        .select(col("exact_urls"),
+          (abs(col("approx_urls") - col("exact_urls")).cast("double") <=
+            col("exact_urls").cast("double") * 0.15).as("approx_ok"))),
 
     // A1(b): Catalyst-native Bloom build; F2: membership check. The filter
     // is sized to the corpus (a literal is fine at this size; the ENGINE
@@ -426,14 +556,16 @@ object Demos {
         .agg(sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_contained"))
     }),
 
-    // A2: cuckoo filter build (supports deletion; see CuckooFilterSpec)
+    // A2: cuckoo filter build (supports deletion; see CuckooFilterSpec) —
+    // duck-checkable contract: every inserted key is present (cardinality
+    // == distinct urls; no insert drops at this load factor)
     "cuckoo_build" -> ((s, dir) => {
       val bytes = pages(s, dir)
         .agg(Sketches.cuckooAgg(xxhash64(col("url")), 1 << 16))
         .head().getAs[Array[Byte]](0)
       val cf = graft.spider.sketch.CuckooFilter.deserialize(bytes)
       import s.implicits._
-      Seq((cf.cardinality, bytes.length.toLong)).toDF("n_items", "n_bytes")
+      Seq(cf.cardinality).toDF("n_items")
     }),
 
     // F2 split at scale: SHARDED bloom prefilter, shipped to tasks via
@@ -452,27 +584,52 @@ object Demos {
           sum(when(!col("maybe_seen"), 1L).otherwise(0L)).as("n_definitely_new"))
     }),
 
-    // the end-to-end slices — ALL reading the one shared 3-round catalog
-    "crawl_round1" -> ((s, dir) =>
+    // the end-to-end slices — ALL reading the one shared 3-round catalog,
+    // DuckDB-checked against the single-threaded CrawlOracle's crawl log
+    // (the flagship keys' independent channel, VERDICT r4 task #2)
+    "crawl_round1" -> ((s, dir) => {
+      ensureCrawlFixtures(s, dir)
       sharedCrawl(s, dir).readCrawled(1)
-        .orderBy("host", "rank_in_host")),
+        .orderBy("host", "rank_in_host")
+    }),
 
-    "crawl_multiround" -> ((s, dir) =>
+    "crawl_multiround" -> ((s, dir) => {
+      ensureCrawlFixtures(s, dir)
       sharedCrawl(s, dir).readCrawled(3)
         .groupBy("round").agg(count(lit(1)).as("n_fetched"),
-          countDistinct("host").as("n_hosts")).orderBy("round")),
+          countDistinct("host").as("n_hosts")).orderBy("round")
+    }),
 
-    // A7/S6: per-round counters out of the snapshot manifests
+    // timed re-crawl (the reference's price-history loop): the versioned
+    // crawl log — urls re-admitted recrawlEvery rounds after each fetch,
+    // so (url, round) accumulates versions; prev_round is the recrawl-lag
+    // consumption over that series. Oracle: the CrawlOracle replay under
+    // the same recrawl policy.
+    "recrawl_requeue" -> ((s, dir) => {
+      ensureFixture("oraclerecrawl", dir)(p =>
+        writeCrawlLogFixture(s, dir, recrawlCfg, p))
+      val w = Window.partitionBy("url").orderBy("round")
+      recrawlCrawl(s, dir).readCrawled(recrawlCfg.rounds)
+        .select(col("url"), col("round"), col("rank_in_host"))
+        .withColumn("prev_round", lag(col("round"), 1).over(w))
+        .orderBy("url", "round")
+    }),
+
+    // A7/S6: per-round counters out of the snapshot manifests — oracle:
+    // the CrawlOracle's own counters fixture
     "round_counters" -> ((s, dir) => {
       import s.implicits._
+      ensureCrawlFixtures(s, dir)
       val catalog = sharedCrawl(s, dir)
       (1 to 2).map(catalog.countersOf).toDF().orderBy("round")
     }),
 
     // S6/S7: checkpoint write → read-back identity (round-1 tables of the
-    // shared catalog; latest_round reflects the catalog's 3 rounds)
+    // shared catalog; latest_round reflects the catalog's 3 rounds) —
+    // oracle: row counts re-derived from the CrawlOracle counters fixture
     "checkpoint_roundtrip" -> ((s, dir) => {
       import s.implicits._
+      ensureCrawlFixtures(s, dir)
       val catalog = sharedCrawl(s, dir)
       Seq((catalog.readFrontier(1).count(), catalog.readSeen(1).count(),
         catalog.latestRound.getOrElse(-1)))
@@ -580,11 +737,21 @@ object Demos {
           col("punct_ratio"), col("quality_score"))
         .orderBy("doc_id")),
 
-    // rolling-hash document fingerprint
-    "doc_fingerprint" -> ((s, dir) =>
+    // rolling-hash document fingerprint — oracle: the shared TextKernels
+    // kernel replayed single-threaded into a fixture
+    "doc_fingerprint" -> ((s, dir) => {
+      ensureFixture("oraclefp", dir) { p =>
+        import s.implicits._
+        oracleDocs(s, dir)
+          .map(d => (d.docId, graft.datapipe.TextKernels.rollingFingerprint(
+            d.text.getBytes("UTF-8"), 16)))
+          .toDF("doc_id", "fingerprint")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
       t(s, dir, "documents").select(col("doc_id"),
         doc_fingerprint(col("text"), lit(16)).as("fingerprint"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // multimodal: binary column + batched feature extraction (decode STUB)
     "multimodal_features" -> ((s, dir) => {
@@ -749,5 +916,141 @@ object Demos {
         "'/doc/' || CAST(doc_id AS VARCHAR) AS path FROM documents) " +
         "SELECT host, count(*) AS n_allowed FROM pages JOIN robots USING (host) " +
         "WHERE len(list_filter(disallow_prefixes, p -> starts_with(path, p))) = 0 " +
-        "GROUP BY host ORDER BY host"))
+        "GROUP BY host ORDER BY host"),
+    // S4: the robots source rows vs the plain-Scala shared-core fixture
+    "scan_robots" ->
+      ("SELECT host, CAST(len(disallow_prefixes) AS BIGINT) AS n_disallow, " +
+        "crawl_delay_ms FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/robots-sf0.01/*.parquet') " +
+        "ORDER BY host"),
+    // Flagship e2e keys vs the single-threaded CrawlOracle's crawl log
+    // (materialized by the query as a fixture; the driver's DuckDB compare
+    // is then an independent engine ≡ oracle channel).
+    "crawl_round1" ->
+      ("SELECT url, url_hash, host, round, rank_in_host, fetch_ts, text, lang, n_links " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclecrawl-sf0.01/*.parquet') " +
+        "WHERE round = 1 ORDER BY host, rank_in_host"),
+    "crawl_multiround" ->
+      ("SELECT round, count(*) AS n_fetched, " +
+        "CAST(count(DISTINCT host) AS BIGINT) AS n_hosts " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclecrawl-sf0.01/*.parquet') " +
+        "GROUP BY round ORDER BY round"),
+    // timed re-crawl: the oracle replay under the same recrawl policy
+    "recrawl_requeue" ->
+      ("SELECT url, round, rank_in_host, " +
+        "lag(round) OVER (PARTITION BY url ORDER BY round) AS prev_round " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclerecrawl-sf0.01/*.parquet') " +
+        "ORDER BY url, round"),
+    // manifest counters vs the oracle's counters fixture
+    "round_counters" ->
+      ("SELECT round, frontier_in, robots_blocked, dequeued, fetched, " +
+        "fetch_missing, links_extracted, candidates_new, deduped_seen, " +
+        "enqueued, frontier_out " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclecounters-sf0.01/*.parquet') " +
+        "WHERE round IN (1, 2) ORDER BY round"),
+    "checkpoint_roundtrip" ->
+      ("SELECT CAST(max(CASE WHEN round = 1 THEN frontier_out END) AS BIGINT) " +
+        "AS frontier_rows, " +
+        "CAST(sum(CASE WHEN round <= 1 THEN enqueued END) AS BIGINT) AS seen_rows, " +
+        "3 AS latest_round " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclecounters-sf0.01/*.parquet')"),
+    // shared-kernel expected-column fixtures
+    "url_hash64" ->
+      ("SELECT url, url_hash, host_hash FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oraclehash64-sf0.01/*.parquet') " +
+        "ORDER BY url"),
+    "extract_outlinks" ->
+      ("SELECT url, outlink FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oracleoutlinks-sf0.01/*.parquet') " +
+        "ORDER BY url, outlink"),
+    "doc_fingerprint" ->
+      ("SELECT doc_id, fingerprint FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oraclefp-sf0.01/*.parquet') " +
+        "ORDER BY doc_id"),
+    // sketch contracts DuckDB can check exactly: a Bloom/cuckoo filter has
+    // NO false negatives, so probing exactly the inserted key set must
+    // report every key present.
+    "bloom_build" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) " +
+        "AS n_contained FROM documents"),
+    "treeagg_bloom" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_contained FROM documents",
+    "cuckoo_build" ->
+      "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items FROM documents",
+    "approx_distinct" ->
+      ("SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_urls, " +
+        "true AS approx_ok FROM documents"),
+    // session windows re-derived as gaps-and-islands: a new session starts
+    // when the gap to the previous event reaches the 30-minute timeout
+    // (Spark merges windows only while next.start < prev.end).
+    "session_demo" ->
+      ("WITH m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS grp FROM m) " +
+        "SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start, " +
+        "count(*) AS n_events FROM g GROUP BY user_id, grp " +
+        "ORDER BY user_id, session_start"),
+    // language-ID heuristic re-derived in SQL (same stopword lists,
+    // diacritic evidence, CJK share and tie rules as TextStats.langId)
+    "lang_id" ->
+      ("WITH f AS (SELECT " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['the','and','of','to','is','in','that','with','for','a'])) AS h_en, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['le','la','les','et','de','des','est','dans','pour','une'])) AS h_fr, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['el','la','los','las','y','de','es','en','que','una'])) AS h_es, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['der','die','das','und','ist','von','mit','für','ein','nicht'])) AS h_de, " +
+        "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        "length(text) AS n, " +
+        "length(text) - length(regexp_replace(text, '[àâçéèêëîïôùûœ]', '', 'g')) AS frd, " +
+        "length(text) - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g')) AS esd, " +
+        "length(text) - length(regexp_replace(text, '[äöüß]', '', 'g')) AS ded " +
+        "FROM documents), " +
+        "p AS (SELECT CASE " +
+        "WHEN CAST(cjk AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0) > 0.15 THEN 'zh' " +
+        "WHEN h_fr + frd > h_en AND h_fr + frd >= h_es + esd AND " +
+        "h_fr + frd >= h_de + ded AND h_fr + frd > 0 THEN 'fr' " +
+        "WHEN h_es + esd > h_en AND h_es + esd >= h_de + ded AND h_es + esd > 0 THEN 'es' " +
+        "WHEN h_de + ded > h_en AND h_de + ded > 0 THEN 'de' " +
+        "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred FROM f) " +
+        "SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1"),
+    // quality features re-derived in SQL (same ratios, caps and literals)
+    "text_quality" ->
+      ("WITH f AS (SELECT doc_id, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
+        "length(text) AS nc, " +
+        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['the','and','of','to','is','in','that','with','for','a'])) AS sh " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, nt, sh, " +
+        "CAST(np AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) AS punct_ratio, " +
+        "CAST(nu AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) AS upper_ratio FROM f) " +
+        "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, punct_ratio, " +
+        "CASE WHEN nt < 5 THEN 0.0 ELSE 1.0 " +
+        "- least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.3) " +
+        "+ least(CAST(sh AS DOUBLE) * 0.02, 0.2) END AS quality_score " +
+        "FROM r ORDER BY doc_id"),
+    // exact n-gram Jaccard re-derived with DuckDB list functions (same
+    // tokenization, 3-gram construction, distinct sets and double division)
+    "ngram_jaccard" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text || ' tail marker' FROM documents), " +
+        "tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk " +
+        "FROM corpus), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN " +
+        "range(1, len(tk) - 1)]) END AS sh FROM tok), " +
+        "pr AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents " +
+        "WHERE doc_id < 50) " +
+        "SELECT id_a, id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard " +
+        "FROM pr JOIN sh a ON a.doc_id = pr.id_a JOIN sh b ON b.doc_id = pr.id_b " +
+        "ORDER BY id_a"))
 }

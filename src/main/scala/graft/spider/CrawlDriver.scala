@@ -48,9 +48,22 @@ object CrawlDriver {
     // pipelining resolves its seen history at round r-2 (the current round's
     // async discovery aggregate), so keepLast must keep the anchor at or
     // below that (>= 2), +1 margin.
-    require(cfg.expireEveryRounds == 0 || cfg.expireKeepLast >= 3,
+    // Only the ACTIVE combination is constrained: expireEveryRounds with
+    // expireKeepLast == 0 is inert (the loop never fires expiration), so it
+    // is not rejected.
+    require(cfg.expireEveryRounds == 0 || cfg.expireKeepLast == 0 ||
+        cfg.expireKeepLast >= 3,
       s"expireEveryRounds=${cfg.expireEveryRounds} requires expireKeepLast >= 3 " +
         s"(got ${cfg.expireKeepLast}): in-flight pipelined readers reach two rounds back")
+    // timed re-crawl reads the source round's COMMITTED crawl log inside
+    // round r (r0 = r+1-recrawlEvery): under depth-1 commit pipelining the
+    // newest final manifest at round r's start is r-2, so the cadence must
+    // reach at least that far back (one less without pipelining).
+    require(cfg.recrawlEvery == 0 ||
+        cfg.recrawlEvery >= (if (cfg.pipelinedCommits) 3 else 2),
+      s"recrawlEvery=${cfg.recrawlEvery} must be >= " +
+        s"${if (cfg.pipelinedCommits) 3 else 2} (commit-pipeline depth): " +
+        "the source round's manifest must be final when its crawl log is re-read")
     // storage-partitioned join over the DSv2 seen reader: group by the
     // reported bucket partitioning and allow shuffling the (small)
     // candidate side into it. Session-global planner settings — saved here
@@ -187,11 +200,21 @@ object CrawlDriver {
             catalog.readHostState(r - 1), bound,
             catalog.countersOf(r - 1).links_extracted, None)
       }
+      // timed re-crawl source: the committed crawl log of round r0 (final
+      // by construction — the recrawlEvery >= pipeline-depth+1 require
+      // above), plus its exact row count from the committed counters
+      val (recrawlSrc, recrawlN) = {
+        val r0 = r + 1 - cfg.recrawlEvery
+        if (cfg.recrawlEvery > 0 && r0 >= 1)
+          (catalog.readCrawledRound(r0), catalog.countersOf(r0).fetched)
+        else (None, 0L)
+      }
       val prevF = chainF
       val pc = catalog.beginCommit(r)
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
-        frontierInBound, pc.stage, robotsRows, prevLinksN, prebuilt)
+        frontierInBound, pc.stage, robotsRows, prevLinksN, prebuilt,
+        recrawlSrc, recrawlN)
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta
@@ -201,7 +224,7 @@ object CrawlDriver {
         (candN, enqueuedN, delta) <- out.rawStatsF
       } yield {
         val merged = mergeBloom(prev.bloom, delta)
-        val frontierOut = (out.eligibleN - out.dequeuedN) + enqueuedN
+        val frontierOut = (out.eligibleN - out.dequeuedN) + enqueuedN + out.recrawlN
         val counters = RoundCounters(r, prev.frontierOut,
           prev.frontierOut - out.eligibleN, out.dequeuedN, out.fetchedN,
           out.dequeuedN - out.fetchedN, out.linksN, candN, candN - enqueuedN,

@@ -60,6 +60,9 @@ object CrawlEngine {
       dequeuedN: Long,
       fetchedN: Long,
       linksN: Long,
+      /** rows re-admitted into frontierNext by the timed re-crawl (0 when
+        * cfg.recrawlEvery == 0 or no source round exists yet). */
+      recrawlN: Long,
       /** The discovery aggregate — (candN, enqueuedN, bloomDelta) — runs as
         * a Future: nothing inside THIS round needs its results (they feed
         * the manifest counters and the NEXT round's Bloom), so the job
@@ -86,8 +89,10 @@ object CrawlEngine {
     /** Upper bound on |frontierNext|, available synchronously — drives the
       * next round's broadcast-vs-shuffle strategy choices (the exact value
       * arrives with rawStatsF; a bound can only flip a choice toward the
-      * shuffle path, the one that is correct at design scale anyway). */
-    def frontierOutBound: Long = (eligibleN - dequeuedN) + linksN
+      * shuffle path, the one that is correct at design scale anyway).
+      * `recrawlN` (exact, from the source round's committed counters) covers
+      * the timed re-crawl re-admissions folded into frontierNext. */
+    def frontierOutBound: Long = (eligibleN - dequeuedN) + linksN + recrawlN
   }
 
   /** The round's seen-set input, split by representation:
@@ -226,7 +231,8 @@ object CrawlEngine {
       else dequeuedSel.hint("shuffle_hash")
     val extracted = pages
       .join(fetchSide, Seq("url"), "inner")
-      .withColumn("page", extract_page(col("html"))) // ONE html decode (E5+E6 fused)
+      // ONE html decode (E5+E6 fused); text under the host's template
+      .withColumn("page", extract_page(col("html"), col("host")))
       .withColumn("outlinks", col("page.outlinks"))
       .withColumn("etext", col("page.text"))
       .withColumn("n_links", size(col("outlinks")).cast("int"))
@@ -271,7 +277,17 @@ object CrawlEngine {
       /** Round-r dequeue/fetch frames prebuilt during round r-1 (see
         * [[RoundOutput.nextDequeueF]]) — skips the 1.4-1.7 s of Catalyst
         * analysis otherwise paid serially at round start. */
-      prebuilt: Option[DequeueFrames] = None): RoundOutput = {
+      prebuilt: Option[DequeueFrames] = None,
+      /** Timed re-crawl source (cfg.recrawlEvery > 0): the COMMITTED crawl
+        * log of round `round + 1 - recrawlEvery` — columns (url, url_hash,
+        * host, fetch_ts) — whose urls are re-admitted into frontierNext at
+        * this round's tail, bypassing the seen gate by design. Reading the
+        * committed table (not a carried frame) keeps re-admission a pure
+        * function of committed state: resume replays it identically. */
+      recrawl: Option[DataFrame] = None,
+      /** exact |recrawl| from the source round's committed counters —
+        * feeds frontierOutBound and the driver's frontier_out counter. */
+      recrawlN: Long = 0L): RoundOutput = {
 
     val t0 = System.nanoTime()
     if (cfg.verbose) System.err.println(s"[round $round] start")
@@ -445,14 +461,28 @@ object CrawlEngine {
     // broadcasting a frontier-scale side — the dangerous direction.) An
     // overestimate can only flip a strategy toward the shuffle path, the
     // at-scale-correct one; exactness is never at stake.
+    // timed re-crawl re-admissions (see the `recrawl` param): the source
+    // round's crawl log mapped to frontier entries — recrawlPriority, this
+    // round as discovered_round, the source fetch_ts as the ordering
+    // timestamp (deterministic on both engine and oracle sides)
+    def withRecrawl(base: DataFrame): DataFrame = recrawl match {
+      case Some(rc) => base.unionByName(rc.select(
+        col("url"), col("url_hash"), col("host"),
+        xxhash64(col("host")).as("host_hash"),
+        lit(cfg.recrawlPriority).as("priority"),
+        lit(round).as("discovered_round"),
+        col("fetch_ts").as("warc_ts")))
+      case None => base
+    }
+
     val nextDequeueF: Future[Option[DequeueFrames]] =
       if (round >= cfg.rounds || !cfg.pipelinedCommits) Future.successful(None)
       else for {
         (_, _, _, newCkpt, _) <- discoveryF
         residualCkpt <- residualCkptF
       } yield {
-        val fn = residualCkpt.unionByName(newCkpt)
-        val nextBound = (eligibleN - dequeuedN) + linksN
+        val fn = withRecrawl(residualCkpt.unionByName(newCkpt))
+        val nextBound = (eligibleN - dequeuedN) + linksN + recrawlN
         Some(buildDequeue(spark, pages, robots, fn, round + 1, cfg, nextBound, robotsRows))
       }
 
@@ -464,7 +494,7 @@ object CrawlEngine {
     // lineage bounded).
     val (cand, bloomBc, flagged, newCkpt, flip) = Await.result(discoveryF, Duration.Inf)
     val residualCkpt = Await.result(residualCkptF, Duration.Inf)
-    val frontierNext = residualCkpt.unionByName(newCkpt)
+    val frontierNext = withRecrawl(residualCkpt.unionByName(newCkpt))
     val seenDelta = newCkpt.select(col("url_hash"), col("url"))
       .withColumn("seen_bucket", seenBucketCol(col("url_hash"), cfg.seenBuckets))
     stage("frontier", frontierNext)
@@ -497,7 +527,7 @@ object CrawlEngine {
 
     val ckptRdds = Seq(residualCkpt, newCkpt, hostStateNextP)
       .flatMap(org.apache.spark.sql.GraftColumnBridge.checkpointRdd)
-    RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, rawStatsF,
+    RoundOutput(round, eligibleN, dequeuedN, fetchedN, linksN, recrawlN, rawStatsF,
       Seq(eligible, hb, ranked, extracted, cand, flagged,
         hostStateNextP, frontierNext, seenDelta),
       ckptRdds, bloomBc.toSeq, frontierNext, seenDelta, hostStateNextP,

@@ -47,7 +47,8 @@ object CrawlOracle {
         Corpus.urlOf(tgt.source, tgt.docId)
       }
       OraclePage(url, Corpus.warcTsMicros(d.docId),
-        HtmlCodec.wrap(d.docId, d.text, outlinks), d.text, d.lang)
+        Templates.wrapFor(UrlCanonical.host(url), d.docId, d.text, outlinks),
+        d.text, d.lang)
     }.toVector
   }
 
@@ -70,6 +71,10 @@ object CrawlOracle {
     val crawled = Vector.newBuilder[Crawled]
     val hostFetched = mutable.HashMap[String, Long]().withDefaultValue(0L)
     val counters = Vector.newBuilder[RoundCounters]
+    // timed re-crawl (cfg.recrawlEvery): per-round log of fetched entries,
+    // re-admitted recrawlEvery-1 rounds later (so the re-fetch lands exactly
+    // recrawlEvery rounds after the fetch, budget permitting)
+    val fetchedAtRound = mutable.HashMap[Int, Vector[Crawled]]()
 
     for (r <- 1 to cfg.rounds) {
       val frontierIn = frontier.size.toLong
@@ -80,6 +85,7 @@ object CrawlOracle {
       // unseen candidate url -> (hash, host, min parent warc_ts)
       val candidates = mutable.LinkedHashMap[String, (Long, String, Long)]()
       val residuals = Vector.newBuilder[Entry]
+      val roundFetched = Vector.newBuilder[Crawled]
 
       frontier.groupBy(_.host).foreach { case (host, entries) =>
         val disallow = Corpus.robotsDisallow(host)
@@ -99,9 +105,11 @@ object CrawlOracle {
               linksN += links.size
               fetchedN += 1
               hostFetched(host) = hostFetched(host) + 1
-              crawled += Crawled(e.url, e.urlHash, host, r, idx + 1,
+              val row = Crawled(e.url, e.urlHash, host, r, idx + 1,
                 Corpus.fetchTsMicros(r, idx + 1, delay, cfg.roundLenMs),
-                HtmlCodec.extractText(p.html), p.lang, links.size)
+                Templates.extractTextFor(host, p.html), p.lang, links.size)
+              crawled += row
+              roundFetched += row
               links.foreach { raw =>
                 val cu = UrlCanonical.canonicalize(raw)
                 val h = Hash64.string(cu)
@@ -123,7 +131,18 @@ object CrawlOracle {
         Entry(url, h, host, Corpus.priorityAtRound(r), r, ts)
       }.toVector
       fresh.foreach(e => seen += e.urlHash)
-      frontier = residuals.result() ++ fresh
+      if (cfg.recrawlEvery > 0) fetchedAtRound(r) = roundFetched.result()
+      // timed re-crawl: re-admit urls fetched in round r+1-recrawlEvery —
+      // straight past the seen gate (they are, by definition, seen); the
+      // entry's ordering tuple is deterministic (recrawlPriority, the
+      // source row's fetch_ts as warc_ts, url_hash, url), discovered this
+      // round. The engine replays this from the committed crawl log.
+      val recrawl: Vector[Entry] =
+        if (cfg.recrawlEvery > 0)
+          fetchedAtRound.getOrElse(r + 1 - cfg.recrawlEvery, Vector.empty).map(c =>
+            Entry(c.url, c.urlHash, c.host, cfg.recrawlPriority, r, c.fetchTsMicros))
+        else Vector.empty
+      frontier = residuals.result() ++ fresh ++ recrawl
       counters += RoundCounters(r, frontierIn, blocked, dequeuedN, fetchedN,
         missingN, linksN, candN, candN - fresh.size.toLong, fresh.size.toLong,
         frontier.size.toLong)

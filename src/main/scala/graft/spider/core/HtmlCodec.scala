@@ -143,6 +143,10 @@ object HtmlCodec {
     parts.mkString(" ")
   }
 
+  /** Drop any <...> spans nested inside an element (shared with the
+    * template extractors in [[Templates]]). */
+  private[core] def stripTagSpans(s: String): String = stripTags(s)
+
   /** Drop any <...> spans nested inside a paragraph. */
   private def stripTags(s: String): String = {
     if (s.indexOf('<') < 0) return s

@@ -142,8 +142,12 @@ case class CrawlConfig(
     expireKeepLast: Int = 0,
     /** Also run expiration DURING the crawl, every this many rounds (0 =
       * post-crawl only) — so a months-long crawl's manifest and state-file
-      * count is bounded while it runs, not just after it ends. Requires
-      * `expireKeepLast > 0`. Safe under commit pipelining: expiration only
+      * count is bounded while it runs, not just after it ends. Inert unless
+      * `expireKeepLast > 0`; when both are set, `expireKeepLast >= 3` is
+      * required (enforced in CrawlDriver): commit pipelining keeps in-flight
+      * readers that reach two rounds back, so the retention window must pin
+      * the r-2 reference plus one round of margin.
+      * Safe under commit pipelining: expiration only
       * deletes below the newest compaction anchor at or before
       * `latest - keepLast + 1`, and every live reader (the pending round's
       * inputs, the in-flight compaction's sources, resume) resolves its seen
@@ -158,7 +162,25 @@ case class CrawlConfig(
       * files are byte-equal); a killed run loses at most two rounds of work
       * instead of one and replays to the same ordering/seen set. Off = every
       * round reads its inputs back from the committed snapshot. */
-    pipelinedCommits: Boolean = true)
+    pipelinedCommits: Boolean = true,
+    /** Timed re-crawl — the reference's price-history loop (SURVEY.md §3.1-3):
+      * every URL fetched in round r is RE-ADMITTED to the frontier at the
+      * end of round r + recrawlEvery - 1 (so, budget permitting, it is
+      * re-fetched exactly recrawlEvery rounds after its last fetch, and the
+      * `crawled` table — keyed (url, round) — accumulates a version time
+      * series per url). 0 = off (fetch-once semantics). Re-admission
+      * BYPASSES the URL-seen gate by design (the seen set still blocks
+      * duplicate DISCOVERY); re-admitted entries carry `recrawlPriority`
+      * and compete for per-host budget like any frontier entry, so a
+      * starved re-crawl simply stays pending. Engine constraint: must be
+      * ≥ 3 under `pipelinedCommits` (≥ 2 otherwise) so the source round's
+      * manifest is final when its crawl log is re-read; the oracle accepts
+      * any value ≥ 1. */
+    recrawlEvery: Int = 0,
+    /** Priority for re-admitted (timed re-crawl) frontier entries. Default =
+      * seed priority: tracked items re-crawl ahead of freshly discovered
+      * URLs, the reference's price-tracking stance. */
+    recrawlPriority: Int = 100)
 
 object CrawlConfig {
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
-import graft.spider.core.{Corpus, HtmlCodec, UrlCanonical}
+import graft.spider.core.{Corpus, HtmlCodec, Templates, UrlCanonical}
 
 /** Catalyst expressions for the crawl engine (SURVEY.md §2.2) — the north
   * star requires URL canonicalization / extraction "expressed as Catalyst
@@ -51,15 +51,18 @@ case class UrlHostExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** E5: EC-Spider item-parsing semantics — extracted text of a page. */
-case class ExtractTextExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** E5: EC-Spider item-parsing semantics — extracted text of a page, under
+  * the page host's template ([[Templates.forHost]]: per-site selector
+  * dispatch, the reference's JD-vs-Taobao shape). */
+case class ExtractTextExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def prettyName: String = "extract_text"
-  override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(HtmlCodec.extractText(input.asInstanceOf[Array[Byte]]))
-  override protected def withNewChildInternal(newChild: Expression): ExtractTextExpr =
-    copy(child = newChild)
+  override protected def nullSafeEval(html: Any, host: Any): Any =
+    UTF8String.fromString(Templates.extractTextFor(
+      host.asInstanceOf[UTF8String].toString, html.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractTextExpr =
+    copy(left = l, right = r)
 }
 
 /** E6: ordered array of raw href values of `<a>` tags. */
@@ -77,25 +80,26 @@ case class ExtractOutlinksExpr(child: Expression)
 
 /** E5+E6 fused: one UTF-8 decode of the page producing
   * struct(text, outlinks) — the fetch-extract hot path calls this once
-  * instead of decoding the html twice. Semantics identical to
-  * ExtractTextExpr/ExtractOutlinksExpr (same HtmlCodec core). */
-case class ExtractPageExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * instead of decoding the html twice. Text follows the host's template
+  * (same dispatch as ExtractTextExpr); outlink markup is template-invariant
+  * (same HtmlCodec core). */
+case class ExtractPageExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("text", StringType, nullable = false),
     StructField("outlinks", ArrayType(StringType, containsNull = false), nullable = false)))
   override def prettyName: String = "extract_page"
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  override protected def nullSafeEval(html: Any, host: Any): Any = {
+    val bytes = html.asInstanceOf[Array[Byte]]
     val doc = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    val text = HtmlCodec.extractTextStr(doc)
+    val text = Templates.forHost(host.asInstanceOf[UTF8String].toString).extractTextStr(doc)
     val links = HtmlCodec.extractOutlinksStr(doc)
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(text),
       new GenericArrayData(links.map(UTF8String.fromString).toArray[Any]))
   }
-  override protected def withNewChildInternal(newChild: Expression): ExtractPageExpr =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractPageExpr =
+    copy(left = l, right = r)
 }
 
 /** E7: robots gate — true iff the url's path starts with no disallow prefix. */
@@ -116,21 +120,25 @@ case class RobotsAllowsExpr(left: Expression, right: Expression)
 }
 
 /** S2 helper: deterministic Common-Crawl-style html wrap of (doc_id, text,
-  * outlinks) — the fixture generator as a Catalyst expression. */
+  * outlinks) under the HOST's template — the fixture generator as a
+  * Catalyst expression (same [[Templates.forHost]] dispatch the extractor
+  * inverts). */
 case class WrapHtmlExpr(first: Expression, second: Expression, third: Expression,
-    noiseLen: Int = 0)
-    extends TernaryExpression with CodegenFallback {
+    fourth: Expression, noiseLen: Int = 0)
+    extends QuaternaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "wrap_html"
-  override protected def nullSafeEval(docId: Any, text: Any, outlinks: Any): Any = {
+  override protected def nullSafeEval(
+      docId: Any, text: Any, outlinks: Any, host: Any): Any = {
     val arr = outlinks.asInstanceOf[ArrayData]
     val links = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
-    HtmlCodec.wrap(docId.asInstanceOf[Long], text.asInstanceOf[UTF8String].toString,
+    Templates.wrapFor(host.asInstanceOf[UTF8String].toString,
+      docId.asInstanceOf[Long], text.asInstanceOf[UTF8String].toString,
       links, noiseLen)
   }
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): WrapHtmlExpr =
-    copy(first = f, second = s, third = t)
+      f: Expression, s: Expression, t: Expression, q: Expression): WrapHtmlExpr =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** F2: probabilistic membership test against a broadcast-as-literal Bloom
@@ -196,13 +204,16 @@ object SpiderFunctions {
 
   def url_canonicalize(url: Column): Column = col(UrlCanonicalizeExpr(ex(url)))
   def url_host(url: Column): Column = col(UrlHostExpr(ex(url)))
-  def extract_text(html: Column): Column = col(ExtractTextExpr(ex(html)))
+  def extract_text(html: Column, host: Column): Column =
+    col(ExtractTextExpr(ex(html), ex(host)))
   def extract_outlinks(html: Column): Column = col(ExtractOutlinksExpr(ex(html)))
-  def extract_page(html: Column): Column = col(ExtractPageExpr(ex(html)))
+  def extract_page(html: Column, host: Column): Column =
+    col(ExtractPageExpr(ex(html), ex(host)))
   def robots_allows(url: Column, prefixes: Column): Column =
     col(RobotsAllowsExpr(ex(url), ex(prefixes)))
-  def wrap_html(docId: Column, text: Column, outlinks: Column, noiseLen: Int = 0): Column =
-    col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks), noiseLen))
+  def wrap_html(docId: Column, text: Column, outlinks: Column, host: Column,
+      noiseLen: Int = 0): Column =
+    col(WrapHtmlExpr(ex(docId), ex(text), ex(outlinks), ex(host), noiseLen))
   def bloom_might_contain(bloomBytes: Column, value: Column): Column =
     col(BloomMightContainExpr(ex(bloomBytes), ex(value)))
   def bloom_sharded_might_contain(
@@ -219,7 +230,7 @@ object SpiderFunctions {
     reg.createOrReplaceTempFunction("url_host",
       (args: Seq[Expression]) => UrlHostExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("extract_text",
-      (args: Seq[Expression]) => ExtractTextExpr(args.head), "scala_udf")
+      (args: Seq[Expression]) => ExtractTextExpr(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("extract_outlinks",
       (args: Seq[Expression]) => ExtractOutlinksExpr(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("robots_allows",

@@ -506,6 +506,24 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     spark.read.parquet(paths: _*)
   }
 
+  /** The crawl log of EXACTLY round `round` — one manifest table path (or
+    * the expiration rollup's recorded path), no union over history. The
+    * timed-recrawl re-admission source: crawled data dirs are live output,
+    * never deleted by expiration, so the read survives any retention
+    * window. None when the round fetched nothing. */
+  def readCrawledRound(round: Int): Option[DataFrame] = {
+    val path: Option[String] =
+      if (round <= expiredThrough)
+        expiredState.toSeq.flatMap(_.crawled).collectFirst {
+          case (r, p) if r == round => p
+        }
+      else {
+        val t = manifest(round).get("tables").get("crawled")
+        if (t == null) None else Some(t.get("path").asText())
+      }
+    path.map(p => spark.read.parquet(p))
+  }
+
   def readBloom(round: Int): Option[Array[Byte]] = {
     val m = manifest(round)
     if (m.has("bloom")) Some(Files.readAllBytes(Paths.get(m.get("bloom").asText()))) else None

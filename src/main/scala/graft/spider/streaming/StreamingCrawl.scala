@@ -36,9 +36,9 @@ object StreamingCrawl {
       .withColumn("url_hash", xxhash64(col("url")))
       .withWatermark("warc_ts", "1 hour")
       .dropDuplicatesWithinWatermark("url_hash")
-      .select(col("url"), col("url_hash"),
-        expr("parse_url(url, 'HOST')").as("host"), col("warc_ts"),
-        extract_text(col("html")).as("text"),
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .select(col("url"), col("url_hash"), col("host"), col("warc_ts"),
+        extract_text(col("html"), col("host")).as("text"),
         size(extract_outlinks(col("html"))).as("n_links"), col("lang"))
       .writeStream
       .format("parquet")

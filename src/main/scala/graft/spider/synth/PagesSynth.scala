@@ -83,7 +83,8 @@ object PagesSynth {
         x => x.getField("tgt_url")).as("outlinks"))
 
     base.join(links, "doc_id")
-      .withColumn("html", wrap_html(col("doc_id"), col("text"), col("outlinks"), noiseLen))
+      .withColumn("html", wrap_html(col("doc_id"), col("text"), col("outlinks"),
+        concat(col("source"), lit(".example.com")), noiseLen))
       .select("url", "warc_ts", "html", "text", "lang")
   }
 

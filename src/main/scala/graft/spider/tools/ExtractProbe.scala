@@ -47,11 +47,11 @@ object ExtractProbe {
     val scan = time("scan only      ")(pages.select(octet_length(col("html")).as("n"))
       .agg(sum(col("n"))).head().getLong(0))
     val page = time("scan + extract_page")(pages
-      .select(extract_page(col("html")).as("p"))
+      .select(extract_page(col("html"), url_host(col("url"))).as("p"))
       .select((size(col("p.outlinks")) + length(col("p.text"))).as("n"))
       .agg(sum(col("n"))).head().getLong(0))
     val text = time("scan + extract_text")(pages
-      .select(length(extract_text(col("html"))).as("n"))
+      .select(length(extract_text(col("html"), url_host(col("url")))).as("n"))
       .agg(sum(col("n"))).head().getLong(0))
     println(f"extract_page marginal cost: ${(page - scan) * 1e9 / n}%.0f ns/page " +
       f"(${page - scan}%.2f s over $n pages at local[$cpus])")

@@ -193,7 +193,7 @@ object RoundPlanAudit {
       .withColumn("rank_in_host", lit(1)).withColumn("crawl_delay_ms", lit(1000L))
     val fetchPlan = pages
       .join(dequeuedStandIn.hint("shuffle_hash"), Seq("url"), "inner")
-      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html")))
+      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html"), col("host")))
       .select(col("url"), col("page.text"))
     sb.append("## fetch join (shuffled-hash, pages pre-partitioned by url)\n\n```\n")
     sb.append(fmt(fetchPlan)).append("\n```\n\n")
@@ -209,7 +209,7 @@ object RoundPlanAudit {
     val pagesBucketed = graft.spider.synth.CorpusStore.open(spark, corpusDir)
     val fetchPlanBucketed = pagesBucketed
       .join(dequeuedStandIn.hint("shuffle_hash"), Seq("url"), "inner")
-      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html")))
+      .withColumn("page", graft.spider.expr.SpiderFunctions.extract_page(col("html"), col("host")))
       .select(col("url"), col("page.text"))
     sb.append("## fetch join (shuffled-hash, CorpusStore bucketed table — corpus streamed from storage)\n\n```\n")
     sb.append(fmt(fetchPlanBucketed)).append("\n```\n\n")

@@ -55,8 +55,17 @@ object ScalingBench {
 
   def runAt(cpus: Int, sfDir: String, replicate: Int, rounds: Int,
       noiseLen: Int, perReplicaDocs: Int): LevelResult = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // GRAFT_MASTER overrides the local[cpus] master — the standalone-cluster
+    // campaign (spark-submit against a real master with separate executor
+    // JVMs: serialization, shuffle transport, driver/executor boundary all
+    // real) submits with --master and sets this to "submit"; `cpus` then
+    // only sizes shuffle partitions and the probe/labels.
+    val masterOverride = sys.env.get("GRAFT_MASTER").filter(_.nonEmpty)
+    val b0 = SparkSession.builder()
+    val spark = masterOverride.fold(b0.master(s"local[$cpus]")) {
+      case "submit" => b0 // master comes from spark-submit
+      case m        => b0.master(m)
+    }
       .appName(s"graft-scaling-$cpus")
       // partitions sized to the parallelism level; AQE coalesces the many
       // small crawl-state shuffles (a fixed large P anti-scales: 64 tiny

@@ -86,7 +86,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       val src = byId(f.media_id)
       f.kind match {
         case "image" =>
-          assert(f.codec == "bmp")
+          assert(f.codec == "bmp" || f.codec == "png", s"codec ${f.codec}")
           assert(f.decoded_w == src.width && f.decoded_h == src.height,
             s"media ${f.media_id}: decoded ${f.decoded_w}x${f.decoded_h} vs metadata ${src.width}x${src.height}")
           assert(f.n_samples == -1L)
@@ -101,6 +101,127 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
           assert(f.codec == "opaque" && f.decoded_w == -1 && f.n_samples == -1L)
       }
     }
+    // both image containers are present and take their REAL decode paths
+    val imageCodecs = feats.filter(_.kind == "image").map(_.codec).toSet
+    assert(imageCodecs == Set("bmp", "png"), s"image codecs: $imageCodecs")
+  }
+
+  test("PNG roundtrip: encode → decode recovers dimensions and every pixel; " +
+      "CRC corruption and truncation rejected") {
+    val (w, h) = (13, 7)
+    def px(x: Int, y: Int): (Int, Int, Int) = ((x * 17 + y) % 256, (y * 31) % 256, (x ^ y) % 256)
+    val bytes = MediaCodec.encodePng(w, h, px)
+    val img = MediaCodec.decodePng(bytes)
+    assert(img.width == w && img.height == h && img.channels == 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val off = (y * w + x) * 3
+      assert((img.pixels(off) & 0xff) == r && (img.pixels(off + 1) & 0xff) == g &&
+        (img.pixels(off + 2) & 0xff) == b, s"pixel ($x,$y)")
+    }
+    // a flipped pixel byte breaks the IDAT CRC → loud failure
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 20) = (corrupt(bytes.length - 20) ^ 0x5a).toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decodePng(corrupt))
+    assertThrows[IllegalArgumentException](MediaCodec.decodePng(bytes.take(40)))
+  }
+
+  test("PNG decode unfilters all five scanline filter types (hand-built stream)") {
+    // 4x5 RGB image, one row per filter type 0..4; expected pixels derived
+    // by applying the spec's reconstruction functions to chosen raw bytes
+    val (w, h, ch) = (4, 5, 3)
+    val stride = w * ch
+    val rnd = new scala.util.Random(7)
+    val expected = Array.fill(h * stride)((rnd.nextInt(256) & 0xff).toByte)
+    // build the FILTERED stream from the expected output (invert each filter)
+    val raw = new Array[Byte](h * (1 + stride))
+    def e(y: Int, i: Int): Int = expected(y * stride + i) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      for (i <- 0 until stride) {
+        val a = if (i >= ch) e(y, i - ch) else 0
+        val b = if (y > 0) e(y - 1, i) else 0
+        val c = if (y > 0 && i >= ch) e(y - 1, i - ch) else 0
+        val x = ft match {
+          case 0 => e(y, i)
+          case 1 => e(y, i) - a
+          case 2 => e(y, i) - b
+          case 3 => e(y, i) - (a + b) / 2
+          case 4 => e(y, i) - paeth(a, b, c)
+        }
+        raw(y * (1 + stride) + 1 + i) = x.toByte
+      }
+    }
+    // wrap raw in IHDR/IDAT/IEND chunks (reflection-free: rebuild encodePng's
+    // framing by hand so the test does not depend on the encoder's filters)
+    def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+      buf.putInt(data.length).put(kind.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(kind.getBytes("US-ASCII")); crc.update(data)
+      buf.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8: Byte).put(2: Byte)
+      .put(0: Byte).put(0: Byte).put(0: Byte).array()
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = MediaCodec.decodePng(png)
+    assert(img.width == w && img.height == h && img.channels == 3)
+    assert(img.pixels.sameElements(expected),
+      "unfiltered pixels differ from the reconstruction-spec expectation")
+  }
+
+  test("PNG gray and RGBA color types decode (channels, feature reorder)") {
+    // hand-build a 2x2 gray (type 0) and a 2x2 RGBA (type 6) image
+    def build(colorType: Int, ch: Int, pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val stride = w * ch
+      val raw = new Array[Byte](h * (1 + stride))
+      for (y <- 0 until h) {
+        raw(y * (1 + stride)) = 0
+        System.arraycopy(pix, y * stride, raw, y * (1 + stride) + 1, stride)
+      }
+      def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+        buf.putInt(data.length).put(kind.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32
+        crc.update(kind.getBytes("US-ASCII")); crc.update(data)
+        buf.putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8: Byte).put(colorType.toByte)
+        .put(0: Byte).put(0: Byte).put(0: Byte).array()
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val gray = MediaCodec.decodePng(build(0, 1, Array[Byte](10, 20, 30, 40), 2, 2))
+    assert(gray.channels == 1 && gray.pixels.sameElements(Array[Byte](10, 20, 30, 40)))
+    val rgbaPix = Array.tabulate[Byte](2 * 2 * 4)(i => (i * 11).toByte)
+    val rgba = MediaCodec.decodePng(build(6, 4, rgbaPix, 2, 2))
+    assert(rgba.channels == 4 && rgba.pixels.sameElements(rgbaPix))
+    // feature reorder: gray broadcasts to all three channel means
+    val f = Multimodal.pngFeatures(gray, 3)
+    assert(f(0) == f(1) && f(1) == f(2))
   }
 
   test("frameSample: k frames per media, deterministic offsets") {

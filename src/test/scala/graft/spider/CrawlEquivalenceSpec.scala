@@ -86,10 +86,16 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("extract_text inverts the wrap byte-for-byte over the whole corpus") {
+  test("extract_text inverts the wrap byte-for-byte over the whole corpus " +
+      "(both per-host templates active)") {
     import graft.spider.expr.SpiderFunctions._
-    val bad = pagesDf.filter(extract_text(col("html")) =!= col("text")).count()
+    val bad = pagesDf.filter(
+      extract_text(col("html"), url_host(col("url"))) =!= col("text")).count()
     assert(bad == 0L)
+    // the host registry really dispatches BOTH templates on this corpus
+    val tpls = pagesDf.select(url_host(col("url")).as("h")).distinct().collect()
+      .map(r => core.Templates.forHost(r.getString(0)).id).toSet
+    assert(tpls == Set("p", "item"), s"active templates: $tpls")
   }
 
   test("3-round crawl ≡ oracle: ordering, seen set, text bytes, counters, host totals") {
@@ -146,6 +152,43 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     (1 to 3).foreach { r =>
       assert(classicV2.countersOf(r) == oracleRes.counters(r - 1), s"v2 round $r counters")
     }
+  }
+
+  test("timed re-crawl (recrawlEvery=3) ≡ oracle: versioned crawl log, ordering, " +
+      "seen set, frontier, counters; re-fetch gaps are >= recrawlEvery") {
+    val cfg = CrawlConfig(rounds = 7, recrawlEvery = 3)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+    assert(crawledTuples(catalog, 7) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 7) == oracleRes.seen)
+    assert(frontierSet(catalog, 7) == oracleFrontierSet(oracleRes))
+    (1 to 7).foreach { r =>
+      assert(catalog.countersOf(r) == oracleRes.counters(r - 1), s"round $r counters")
+    }
+    // the feature actually fired: the crawl log is versioned — some url has
+    // >1 (url, round) row — and every consecutive re-fetch of a url lands
+    // at least recrawlEvery rounds after the previous fetch (re-admission
+    // happens at the end of round srcRound + recrawlEvery - 1)
+    val roundsByUrl = oracleRes.crawled.groupBy(_.url).values.map(_.map(_.round).sorted)
+    val multi = roundsByUrl.filter(_.size > 1)
+    assert(multi.nonEmpty, "no url was re-crawled — recrawl never fired")
+    multi.foreach { rs =>
+      rs.sliding(2).foreach { case Seq(a, b) =>
+        assert(b - a >= cfg.recrawlEvery, s"re-fetch gap $a->$b < recrawlEvery")
+      }
+    }
+  }
+
+  test("timed re-crawl kill/resume: resume mid-cadence ≡ uninterrupted " +
+      "(re-admission is a pure function of committed state)") {
+    val cfg = CrawlConfig(rounds = 7, recrawlEvery = 3)
+    val full = engineCrawl(cfg)
+    val stateDir = tmpState()
+    engineCrawl(cfg.copy(rounds = 4), stateDir) // kill after round 4
+    val resumed = engineCrawl(cfg, stateDir)    // resume 5..7
+    assert(crawledTuples(resumed, 7) == crawledTuples(full, 7))
+    assert(seenSet(resumed, 7) == seenSet(full, 7))
+    assert(frontierSet(resumed, 7) == frontierSet(full, 7))
   }
 
   test("kill/resume: rounds 0-1 then resume 2-3 ≡ uninterrupted 0-3") {

@@ -3,7 +3,7 @@ package graft.spider
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.spider.core.{Corpus, Hash64, HtmlCodec, UrlCanonical}
+import graft.spider.core.{Corpus, Hash64, HtmlCodec, Templates, UrlCanonical}
 import graft.spider.expr.SpiderFunctions._
 
 /** The engine/oracle consistency contract at the expression level: every
@@ -35,20 +35,42 @@ class ExprConsistencySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("extract_text / extract_outlinks expressions == HtmlCodec") {
+  test("extract_text / extract_outlinks expressions == shared core (per-host templates)") {
     import spark.implicits._
+    // pick one host per template so BOTH dispatch paths are exercised
+    val hostP = (0 to 99).map(i => s"p$i.example.com")
+      .find(h => Templates.forHost(h) == Templates.Paragraph).get
+    val hostI = (0 to 99).map(i => s"i$i.example.com")
+      .find(h => Templates.forHost(h) == Templates.ItemDesc).get
     val pages = Seq(
-      HtmlCodec.wrap(1, "hello & <world>", Seq("https://a/1", "https://b/2")),
-      HtmlCodec.wrap(2, "数据 表", Seq("https://c/3")),
-      HtmlCodec.wrap(3, "", Seq("https://d/4")))
-    val got = pages.toDF("html")
-      .select(col("html"), extract_text(col("html")),
+      (Templates.wrapFor(hostP, 1, "hello & <world>", Seq("https://a/1", "https://b/2")), hostP),
+      (Templates.wrapFor(hostI, 2, "数据 表", Seq("https://c/3")), hostI),
+      (Templates.wrapFor(hostI, 3, "", Seq("https://d/4")), hostI))
+    val got = pages.toDF("html", "host")
+      .select(col("html"), col("host"), extract_text(col("html"), col("host")),
         extract_outlinks(col("html"))).collect()
     got.foreach { r =>
       val html = r.getAs[Array[Byte]](0)
-      assert(r.getString(1) == HtmlCodec.extractText(html))
-      assert(r.getSeq[String](2) == HtmlCodec.extractOutlinks(html))
+      val host = r.getString(1)
+      assert(r.getString(2) == Templates.extractTextFor(host, html))
+      assert(r.getSeq[String](3) == HtmlCodec.extractOutlinks(html))
     }
+  }
+
+  test("Templates: byte identity + field-selector semantics per template") {
+    // identity for both templates, including entities and CJK
+    val texts = Seq("hello & <world>", "数据 表 \"q\" 'a'", "", "plain text")
+    for (t <- Templates.all; text <- texts) {
+      val html = t.wrap(42L, text, Seq("https://x/1"), noiseLen = 0)
+      assert(t.extractText(html) == text, s"template ${t.id}: $text")
+      // outlink extraction is template-invariant
+      assert(HtmlCodec.extractOutlinks(html) == Seq("https://x/1"))
+    }
+    // the ItemDesc selector must NOT pick up the price span or noise
+    val html = Templates.ItemDesc.wrap(7L, "a desc", Seq.empty, noiseLen = 256)
+    val doc = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    assert(doc.contains("class=\"price\""))
+    assert(Templates.ItemDesc.extractTextStr(doc) == "a desc")
   }
 
   test("robots_allows expression == Corpus.robotsAllows") {

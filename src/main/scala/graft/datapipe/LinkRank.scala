@@ -137,6 +137,18 @@ object LinkRank {
     ranks.select("id", "rank")
   }
 
+  /** Priority tier of a PageRank value: min(9, floor(log2(max(1,
+    * floor(rank·n·4))))) — an average-rank vertex (rank·n = 1) tiers at 2,
+    * hubs saturate at 9, below-average vertices at 0. A pure per-row
+    * function (no global sort/ntile at any graph size); the quantize-to-
+    * long then integer-log2-via-bit-length (`length(bin(v)) - 1`) makes the
+    * tier robust to float-summation-order ulps, so a sequential replay
+    * (CrawlOracle.hostRankBoost) lands on the same integers. */
+  def rankTier(rank: org.apache.spark.sql.Column, n: Long): org.apache.spark.sql.Column =
+    least(lit(9),
+      length(bin(greatest(lit(1L), floor(rank * lit(n.toDouble) * lit(4.0))))) - 1)
+      .cast("int")
+
   /** Host-graph rank from a page/outlink edge set expressed on strings:
     * hashes hosts to stable 64-bit ids (xxhash64 — the engine's accepted
     * 64-bit-collision stance, same as the url_hash seen keys), ranks the

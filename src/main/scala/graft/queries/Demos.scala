@@ -74,9 +74,11 @@ object Demos {
     pages(s, dir)
     sharedCrawl(s, dir)
     recrawlCrawl(s, dir)
+    hostrankCrawl(s, dir)
     ensureRobotsFixture(s, dir)
     ensureCrawlFixtures(s, dir)
     ensureFixture("oraclerecrawl", dir)(p => writeCrawlLogFixture(s, dir, recrawlCfg, p))
+    ensureFixture("oraclehostrank", dir)(p => writeCrawlLogFixture(s, dir, hostrankCfg, p))
     bucketedPages(s, dir) // the one-time CorpusStore write is fixture setup,
     ()                    // not what the corpus_bucketed demo measures
   }
@@ -125,12 +127,13 @@ object Demos {
         .map(r => graft.spider.CrawlOracle.Doc(
           r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq)
 
-  /** CrawlOracle runs cached per (session, sf, rounds, recrawlEvery). */
+  /** CrawlOracle runs cached per (session, sf, policy knobs). */
   private val oracleCrawlCache = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Int, Int), graft.spider.CrawlOracle.Result]()
+    (SparkSession, String, Int, Int, Int), graft.spider.CrawlOracle.Result]()
   private def oracleCrawlRes(s: SparkSession, dir: String,
       cfg: CrawlConfig): graft.spider.CrawlOracle.Result =
-    oracleCrawlCache.getOrElseUpdate((s, dir, cfg.rounds, cfg.recrawlEvery), {
+    oracleCrawlCache.getOrElseUpdate(
+      (s, dir, cfg.rounds, cfg.recrawlEvery, cfg.hostRankFromRound), {
       val docs = oracleDocs(s, dir)
       graft.spider.CrawlOracle.run(
         graft.spider.CrawlOracle.synthPages(docs),
@@ -183,6 +186,18 @@ object Demos {
     recrawlCache.getOrElseUpdate((s, dir),
       CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, recrawlCfg),
         PagesSynth.robots(s, dir), recrawlCfg, tmpDir("graft-q-recrawl-")))
+
+  /** ONE shared hostRank-priority catalog per (session, sfDir): 5 rounds,
+    * rank over the committed rounds-1..2 host graph boosting discoveries
+    * from round 4 on — the crawl_hostrank demo compares its full versioned
+    * crawl log against the CrawlOracle replay under the same policy. */
+  private val hostrankCfg = CrawlConfig(rounds = 5, hostRankFromRound = 2)
+  private val hostrankCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), graft.spider.state.CrawlCatalog]()
+  private def hostrankCrawl(s: SparkSession, dir: String): graft.spider.state.CrawlCatalog =
+    hostrankCache.getOrElseUpdate((s, dir),
+      CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, hostrankCfg),
+        PagesSynth.robots(s, dir), hostrankCfg, tmpDir("graft-q-hostrank-")))
 
   /** Near-dup clusters over the documents table via distributed connected
     * components, with two cross-cutting star-edge blocking families — text
@@ -615,6 +630,18 @@ object Demos {
         .orderBy("url", "round")
     }),
 
+    // hostRank frontier priority (VERDICT r4 task #9): the full versioned
+    // crawl log of a rank-boosted crawl — link-graph PageRank over the
+    // committed rounds-1..2 host edges tiers admission priorities from
+    // round 4 on, changing dequeue order. Oracle: the CrawlOracle replay
+    // under the same policy (sequential power method, same quantized tier).
+    "crawl_hostrank" -> ((s, dir) => {
+      ensureFixture("oraclehostrank", dir)(p =>
+        writeCrawlLogFixture(s, dir, hostrankCfg, p))
+      hostrankCrawl(s, dir).readCrawled(hostrankCfg.rounds)
+        .orderBy("round", "host", "rank_in_host")
+    }),
+
     // A7/S6: per-round counters out of the snapshot manifests — oracle:
     // the CrawlOracle's own counters fixture
     "round_counters" -> ((s, dir) => {
@@ -941,6 +968,11 @@ object Demos {
         "lag(round) OVER (PARTITION BY url ORDER BY round) AS prev_round " +
         "FROM read_parquet('/tmp/graft-verify-fixtures/oraclerecrawl-sf0.01/*.parquet') " +
         "ORDER BY url, round"),
+    // hostRank-boosted crawl vs the oracle replay under the same policy
+    "crawl_hostrank" ->
+      ("SELECT url, url_hash, host, round, rank_in_host, fetch_ts, text, lang, n_links " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclehostrank-sf0.01/*.parquet') " +
+        "ORDER BY round, host, rank_in_host"),
     // manifest counters vs the oracle's counters fixture
     "round_counters" ->
       ("SELECT round, frontier_in, robots_blocked, dequeued, fetched, " +

@@ -39,9 +39,15 @@ object CrawlDriver {
       seeds: Dataset[FrontierEntry],
       robots: Dataset[RobotsRule],
       cfg: CrawlConfig,
-      stateDir: String): CrawlCatalog = {
+      stateDir: String,
+      /** Snapshot-store factory — the Iceberg swap seam: any CrawlCatalog
+        * subclass overriding the manifest-persistence methods (e.g.
+        * [[graft.spider.state.SingleFileCatalog]]) drops in here; the
+        * conformance spec pins identical crawl results across stores. */
+      catalogFor: (String, SparkSession) => CrawlCatalog =
+        (d, s) => new CrawlCatalog(d, s)): CrawlCatalog = {
 
-    val catalog = new CrawlCatalog(stateDir, spark)
+    val catalog = catalogFor(stateDir, spark)
     val params = sketchParamsOf(cfg)
     // In-crawl expiration deletes below the newest compaction anchor at or
     // before latest-keepLast+1; the deepest in-flight reader under commit
@@ -64,6 +70,11 @@ object CrawlDriver {
       s"recrawlEvery=${cfg.recrawlEvery} must be >= " +
         s"${if (cfg.pipelinedCommits) 3 else 2} (commit-pipeline depth): " +
         "the source round's manifest must be final when its crawl log is re-read")
+    // the hostRank signal re-reads the hostedges manifests of rounds
+    // 1..hostRankFromRound on every resume; expiration deletes manifests
+    require(cfg.hostRankFromRound == 0 || cfg.expireKeepLast == 0,
+      "hostRankFromRound does not compose with snapshot expiration " +
+        "(expired rounds drop the hostedges manifests the rank re-reads on resume)")
     // storage-partitioned join over the DSv2 seen reader: group by the
     // reported bucket partitioning and allow shuffling the (small)
     // candidate side into it. Session-global planner settings — saved here
@@ -159,6 +170,40 @@ object CrawlDriver {
         roundF: Future[(RoundCounters, Option[Array[Byte]], Chain)])
     var pending: Option[Pend] = None
     var retired: Option[CrawlEngine.RoundOutput] = None
+
+    // hostRank priority signal (cfg.hostRankFromRound = K): computed ONCE
+    // per run — at the first round ≥ K+2, when round K's manifest is final
+    // even under depth-1 commit pipelining — from the committed hostedges
+    // graph of rounds 1..K. Pure function of committed state ⇒ a resumed
+    // run recomputes the identical table. The boost is a per-row function
+    // of (rank, n): quantize rank·n·4 to a long, integer log2 via bit
+    // length (bin()), clamp to [0, 9]; only boost ≥ 1 rows are kept (0 is
+    // the join default), and the side is broadcast while small.
+    var hostBoostCache: Option[DataFrame] = None
+    def hostBoost(r: Int): Option[DataFrame] = {
+      if (cfg.hostRankFromRound == 0 || r < cfg.hostRankFromRound + 2) None
+      else {
+        if (hostBoostCache.isEmpty) {
+          // per-round frames are distinct but their UNION is not (an edge
+          // rediscovered every round) — the rank is over the edge SET
+          val edges = catalog.readHostEdges(cfg.hostRankFromRound).distinct()
+          val ranked = graft.datapipe.LinkRank.hostRank(
+            edges, "src_host", "dst_host", cfg.hostRankIters).persist()
+          val n = ranked.count() // = |vertices|: hostRank emits every vertex
+          val boost = ranked.select(col("host"),
+            graft.datapipe.LinkRank.rankTier(col("rank"), n).as("boost"))
+            .filter(col("boost") >= 1)
+            .localCheckpoint(true)
+          ranked.unpersist()
+          val bn = boost.count()
+          hostBoostCache = Some(
+            if (bn <= cfg.cutoffBroadcastMax) broadcast(boost) else boost)
+          if (cfg.verbose) System.err.println(
+            s"[crawl] hostRank signal ready: $n hosts ranked, $bn boosted")
+        }
+        hostBoostCache
+      }
+    }
     def cleanup(out: CrawlEngine.RoundOutput): Unit = {
       out.persisted.foreach(_.unpersist())
       // localCheckpoint-backed frames are NOT in the CacheManager, so the
@@ -214,7 +259,7 @@ object CrawlDriver {
       val out = CrawlEngine.runRound(spark, pages, robotsDf, frontier, seen,
         hostState, r, cfg, prevF.map(c => (c.bloom, c.seenRows)),
         frontierInBound, pc.stage, robotsRows, prevLinksN, prebuilt,
-        recrawlSrc, recrawlN)
+        recrawlSrc, recrawlN, hostBoost(r))
       val tCompute = (System.nanoTime() - tR) / 1e9
 
       // Exact counters + incremental sketch: bloom(r) = bloom(r-1) ⊎ delta

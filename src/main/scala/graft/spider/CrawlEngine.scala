@@ -287,7 +287,14 @@ object CrawlEngine {
       recrawl: Option[DataFrame] = None,
       /** exact |recrawl| from the source round's committed counters —
         * feeds frontierOutBound and the driver's frontier_out counter. */
-      recrawlN: Long = 0L): RoundOutput = {
+      recrawlN: Long = 0L,
+      /** hostRank priority signal (cfg.hostRankFromRound): `(host, boost)`
+        * with boost ∈ [1, 9] — newly discovered urls joined by host get
+        * `priorityAtRound + boost` (absent hosts boost 0). The driver
+        * computes it once per run from the committed hostedges graph and
+        * pre-wraps the broadcast hint when the table is small enough, so
+        * this side is strategy-ready as passed. */
+      hostBoost: Option[DataFrame] = None): RoundOutput = {
 
     val t0 = System.nanoTime()
     if (cfg.verbose) System.err.println(s"[round $round] start")
@@ -383,10 +390,21 @@ object CrawlEngine {
       val flagged = flagAgainstSeen(cand, seen, bloomBc, cfg, flip)
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val newEntries = flagged.filter(col("is_new")).select(
+      // hostRank boost (left join on the candidate's host): rows under an
+      // unranked or below-average host keep the plain round priority. The
+      // boost side arrives strategy-wrapped (broadcast while small); above
+      // the threshold the join shuffles the round-sized candidate side only.
+      val withBoost = hostBoost match {
+        case Some(b) => flagged.filter(col("is_new")).join(b, Seq("host"), "left_outer")
+          .withColumn("prio", (lit(Corpus.priorityAtRound(round)) +
+            coalesce(col("boost"), lit(0))).cast("int"))
+        case None => flagged.filter(col("is_new"))
+          .withColumn("prio", lit(Corpus.priorityAtRound(round)))
+      }
+      val newEntries = withBoost.select(
         col("url"), col("url_hash"), col("host"),
         xxhash64(col("host")).as("host_hash"),
-        lit(Corpus.priorityAtRound(round)).as("priority"),
+        col("prio").as("priority"),
         lit(round).as("discovered_round"),
         col("warc_ts"))
 
@@ -447,6 +465,22 @@ object CrawlEngine {
     val hostStateNextP = hostStateNext.localCheckpoint(false)
     stage("crawled", crawledDelta)
     stage("hoststate", hostStateNextP)
+    // hostRank signal source (cfg.hostRankFromRound): this round's distinct
+    // host-level outlink pairs — canonical/host semantics identical to the
+    // discovery path (and the oracle), but NOT scope- or seen-filtered: the
+    // link graph measures endorsement, not crawl admission. Host-level
+    // cardinality (≤ hosts²-bounded, in practice ≈ pages' host fan-out), so
+    // the distinct is cheap next to the discovery dedup. Only rounds that
+    // feed the rank pay it; committed like any table, read back by the
+    // driver's one-time rank job.
+    if (cfg.hostRankFromRound > 0 && round <= cfg.hostRankFromRound) {
+      val hostEdges = extracted
+        .select(col("host").as("src_host"), explode(col("outlinks")).as("raw_url"))
+        .withColumn("dst_host", url_host(url_canonicalize(col("raw_url"))))
+        .filter(col("dst_host").isNotNull)
+        .select("src_host", "dst_host").distinct()
+      stage("hostedges", hostEdges)
+    }
 
     // Round r+1's dequeue/fetch frames, built over frontierNext as soon as
     // both checkpoint leaves are compiled — another 1.4-1.7 s of Catalyst

@@ -59,6 +59,44 @@ object CrawlOracle {
         Corpus.warcTsMicros(d.docId))
     }.toVector
 
+  /** Sequential reference of the hostRank priority signal: PageRank over the
+    * host edge SET (self-edges dropped, same fixed-iteration power method and
+    * FP association as [[graft.datapipe.LinkRank.rankStep]]), tiered by
+    *
+    *   boost = min(9, floor(log2(max(1, floor(rank · n · 4)))))
+    *
+    * via integer bit length — the same quantize-then-log2 the engine runs in
+    * SQL (`length(bin(...)) - 1`), so engine and oracle agree despite
+    * summation-order ulps. Only boosts ≥ 1 are kept (0 is the default). */
+  private[spider] def hostRankBoost(
+      edges: Set[(String, String)], iters: Int,
+      damping: Double = 0.85): Map[String, Int] = {
+    val e = edges.filter { case (s, d) => s != d }.toVector.sorted
+    if (e.isEmpty) return Map.empty
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size
+    val idx = verts.zipWithIndex.toMap
+    val outDeg = new Array[Long](n)
+    e.foreach { case (s, _) => outDeg(idx(s)) += 1 }
+    var rank = Array.fill(n)(1.0 / n)
+    for (_ <- 1 to iters) {
+      var mass = 0.0
+      for (i <- 0 until n) if (outDeg(i) == 0L) mass += rank(i)
+      val inSum = new Array[Double](n)
+      e.foreach { case (s, d) => inSum(idx(d)) += rank(idx(s)) / outDeg(idx(s)) }
+      rank = Array.tabulate(n)(i =>
+        ((1.0 - damping) / n) + damping * mass / n + damping * inSum(i))
+    }
+    verts.indices.iterator.map(i => verts(i) -> rankTierScalar(rank(i), n))
+      .filter(_._2 >= 1).toMap
+  }
+
+  /** Scalar twin of [[graft.datapipe.LinkRank.rankTier]] (a grid spec pins
+    * the two to identical integers). */
+  private[spider] def rankTierScalar(rank: Double, n: Long): Int =
+    math.min(9, 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, math.floor(rank * n * 4.0).toLong)))
+
   /** The sequential fetch-parse-extract loop. */
   def run(pages: Seq[OraclePage], seedList: Seq[Entry], cfg: CrawlConfig): Result = {
     val pageByUrl: Map[String, OraclePage] = pages.map(p => p.url -> p).toMap
@@ -75,6 +113,13 @@ object CrawlOracle {
     // re-admitted recrawlEvery-1 rounds later (so the re-fetch lands exactly
     // recrawlEvery rounds after the fetch, budget permitting)
     val fetchedAtRound = mutable.HashMap[Int, Vector[Crawled]]()
+    // hostRank priority signal (cfg.hostRankFromRound = K): host-level edge
+    // SET accumulated over rounds 1..K (canonical/host semantics of the
+    // discovery path, NOT scope-filtered — endorsement, not admission);
+    // ranked once after round K, boosting discoveries from round K+2 on
+    // (the engine's commit-pipeline-depth stance).
+    val hostEdges = mutable.HashSet[(String, String)]()
+    var hostBoost: Map[String, Int] = Map.empty
 
     for (r <- 1 to cfg.rounds) {
       val frontierIn = frontier.size.toLong
@@ -114,6 +159,9 @@ object CrawlOracle {
                 val cu = UrlCanonical.canonicalize(raw)
                 val h = Hash64.string(cu)
                 val lhost = UrlCanonical.host(cu)
+                if (lhost != null && cfg.hostRankFromRound > 0 &&
+                    r <= cfg.hostRankFromRound)
+                  hostEdges += ((host, lhost))
                 if (lhost != null && scope(lhost)) {
                   roundCandUrls += cu
                   if (!seen.contains(h)) candidates.get(cu) match {
@@ -127,8 +175,10 @@ object CrawlOracle {
         }
       }
       val candN = roundCandUrls.size.toLong
+      val boostOn = cfg.hostRankFromRound > 0 && r >= cfg.hostRankFromRound + 2
       val fresh = candidates.iterator.map { case (url, (h, host, ts)) =>
-        Entry(url, h, host, Corpus.priorityAtRound(r), r, ts)
+        val b = if (boostOn) hostBoost.getOrElse(host, 0) else 0
+        Entry(url, h, host, Corpus.priorityAtRound(r) + b, r, ts)
       }.toVector
       fresh.foreach(e => seen += e.urlHash)
       if (cfg.recrawlEvery > 0) fetchedAtRound(r) = roundFetched.result()
@@ -146,6 +196,8 @@ object CrawlOracle {
       counters += RoundCounters(r, frontierIn, blocked, dequeuedN, fetchedN,
         missingN, linksN, candN, candN - fresh.size.toLong, fresh.size.toLong,
         frontier.size.toLong)
+      if (cfg.hostRankFromRound > 0 && r == cfg.hostRankFromRound)
+        hostBoost = hostRankBoost(hostEdges.toSet, cfg.hostRankIters)
     }
 
     Result(

@@ -180,7 +180,31 @@ case class CrawlConfig(
     /** Priority for re-admitted (timed re-crawl) frontier entries. Default =
       * seed priority: tracked items re-crawl ahead of freshly discovered
       * URLs, the reference's price-tracking stance. */
-    recrawlPriority: Int = 100)
+    recrawlPriority: Int = 100,
+    /** Link-graph frontier-priority signal (VERDICT r4 task #9): when K > 0,
+      * rounds 1..K additionally commit a per-round `hostedges` table (the
+      * round's distinct (src_host, dst_host) outlink pairs — host-level, so
+      * it is corpus-hosts-sized, not frontier-sized); from round K + 2
+      * onward (the +2 keeps the source manifests final under depth-1 commit
+      * pipelining, the recrawlEvery stance) every newly DISCOVERED url's
+      * priority is boosted by its host's PageRank tier over that committed
+      * graph:
+      *
+      *   boost(host) = min(9, floor(log2(max(1, floor(rank · n · 4)))))
+      *
+      * — a pure per-row function of the rank (n = vertex count): an
+      * average-rank host (rank·n = 1) gets +2, hubs saturate at +9,
+      * below-average hosts get 0. No global sort or ntile, so the tiering
+      * needs no single-partition pass at any graph size, and the integer
+      * quantization (floor to a long, then bit-length) makes engine and
+      * oracle agree despite float-summation-order ulps. The rank is computed
+      * ONCE per run from committed state — a pure function of it, so resume
+      * replays identically. 0 = off. Does not yet compose with snapshot
+      * expiration (requires expireKeepLast == 0: expired rounds drop their
+      * hostedges manifests). */
+    hostRankFromRound: Int = 0,
+    /** Power iterations for the hostRank priority signal. */
+    hostRankIters: Int = 10)
 
 object CrawlConfig {
 

@@ -41,8 +41,8 @@ case class SketchParams(seenBuckets: Int, bloomShards: Int,
   */
 class CrawlCatalog(val root: String, spark: SparkSession) {
 
-  private val mapper = new ObjectMapper()
-  private def snapDir: Path = Paths.get(root, "snapshots")
+  protected val mapper = new ObjectMapper()
+  protected def snapDir: Path = Paths.get(root, "snapshots")
   private def dataDir(table: String, round: Int): String =
     s"$root/$table/data/r${"%05d".format(round)}"
   private def bloomPath(round: Int): Path =
@@ -53,7 +53,19 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   Files.createDirectories(snapDir)
   Files.createDirectories(Paths.get(root, "sketches"))
 
-  /** Highest round with a committed (atomic-renamed) manifest. */
+  // ------------------------------------------------------------------
+  // Manifest persistence seam. Everything below this block — table data
+  // layout, staged commits, compaction, expiration ORDERING — is
+  // metadata-store-agnostic and reaches manifests only through these six
+  // methods, so a different snapshot store (e.g. Iceberg's single
+  // metadata.json lineage — see SingleFileCatalog) swaps in without
+  // touching the engine or the commit protocol. Contract: persist* must
+  // be atomic (a killed writer leaves either the old or the new state
+  // visible, never a torn one), and loadManifestNode(r) must reflect the
+  // last successful persistManifestNode(r, _).
+  // ------------------------------------------------------------------
+
+  /** Highest round with a committed (atomically persisted) manifest. */
   def latestRound: Option[Int] = {
     if (!Files.isDirectory(snapDir)) return None
     val stream = Files.list(snapDir)
@@ -67,6 +79,34 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     if (rs.isEmpty) None else Some(rs.max)
   }
 
+  protected def loadManifestNode(round: Int): JsonNode =
+    mapper.readTree(manifestPath(round).toFile)
+
+  protected def persistManifestNode(round: Int, json: String): Unit = {
+    val tmp = snapDir.resolve(s".tmp-snapshot-$round.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  protected def manifestExists(round: Int): Boolean =
+    Files.exists(manifestPath(round))
+
+  protected def deleteManifest(round: Int): Unit =
+    Files.deleteIfExists(manifestPath(round))
+
+  protected def loadExpiredNode(): Option[JsonNode] = {
+    val p = snapDir.resolve("expired.json")
+    if (Files.exists(p)) Some(mapper.readTree(p.toFile)) else None
+  }
+
+  protected def persistExpiredNode(json: String): Unit = {
+    val tmp = snapDir.resolve(".tmp-expired.json")
+    Files.writeString(tmp, json)
+    Files.move(tmp, snapDir.resolve("expired.json"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def manifest(round: Int): JsonNode = {
     // Unconditional horizon guard (not just when the file is missing): a
     // crash mid-sweep can leave a below-horizon manifest on disk with its
@@ -76,7 +116,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       throw new IllegalStateException(
         s"snapshot $round is expired (horizon $expiredThrough): only crawled " +
           "data and counters survive expiration — see expireSnapshots")
-    mapper.readTree(manifestPath(round).toFile)
+    loadManifestNode(round)
   }
 
   /** Write one table's round delta/state and return (rows, per-partition
@@ -345,11 +385,8 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
 
       countersToJson(node.putObject("counters"), counters)
 
-      val tmp = snapDir.resolve(s".tmp-snapshot-$round.json")
-      Files.writeString(tmp,
+      persistManifestNode(round,
         mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-      Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
     }
   }
 
@@ -524,6 +561,26 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     path.map(p => spark.read.parquet(p))
   }
 
+  /** Union of the committed per-round `hostedges` tables through `round`
+    * (rounds without one — round 0, rounds past cfg.hostRankFromRound —
+    * skipped): the hostRank priority signal's edge set. Requires the
+    * manifests to exist, so it does not compose with snapshot expiration
+    * (enforced in CrawlDriver). */
+  def readHostEdges(round: Int): DataFrame = {
+    val paths = (1 to round).flatMap { r =>
+      val t = manifest(r).get("tables").get("hostedges")
+      if (t == null || t.get("rows").asLong() == 0L) None
+      else Some(t.get("path").asText())
+    }
+    if (paths.nonEmpty) spark.read.parquet(paths: _*)
+    else { // rounds 1..round fetched nothing: a valid, empty edge set
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("src_host", StringType),
+          StructField("dst_host", StringType))))
+    }
+  }
+
   def readBloom(round: Int): Option[Array[Byte]] = {
     val m = manifest(round)
     if (m.has("bloom")) Some(Files.readAllBytes(Paths.get(m.get("bloom").asText()))) else None
@@ -532,8 +589,6 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   // ------------------------------------------------------------------
   // Snapshot expiration (the Iceberg `expire_snapshots` maintenance action)
   // ------------------------------------------------------------------
-
-  private def expiredPath: Path = snapDir.resolve("expired.json")
 
   /** Rollup of everything readers still need from expired rounds: the horizon,
     * the crawled data paths (live output — never deleted), and per-round
@@ -556,8 +611,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
   }
 
   private def loadExpired(): Option[ExpiredState] = {
-    if (!Files.exists(expiredPath)) return None
-    val n = mapper.readTree(expiredPath.toFile)
+    val n = loadExpiredNode().getOrElse(return None)
     val crawled = n.get("crawled").elements().asScala
       .map(c => (c.get("round").asInt(), c.get("path").asText())).toSeq
     val counters = n.get("counters").elements().asScala
@@ -598,14 +652,14 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     // of any retained round r >= anchor resolve their seen history from a
     // base >= anchor and never touch an expired manifest.
     val anchor = (oldestKeep to (curThrough + 1) by -1).find { r =>
-      Files.exists(manifestPath(r)) && manifest(r).has("seen_base")
+      manifestExists(r) && manifest(r).has("seen_base")
     }
     def sweep(through: Int): Unit = {
       (0 to through).foreach { r =>
-        Seq("frontier", "hoststate", "seen", "seen_base")
+        Seq("frontier", "hoststate", "seen", "seen_base", "hostedges")
           .foreach(t => deleteTree(Paths.get(dataDir(t, r))))
         Files.deleteIfExists(bloomPath(r))
-        Files.deleteIfExists(manifestPath(r))
+        deleteManifest(r)
       }
     }
     val horizon = anchor.map(_ - 1).filter(_ > curThrough).getOrElse {
@@ -630,7 +684,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
     }
     prior.toSeq.flatMap(_.counters.values).foreach(addCounters)
     ((curThrough + 1) to horizon).foreach { r =>
-      if (Files.exists(manifestPath(r))) {
+      if (manifestExists(r)) {
         val m = manifest(r)
         val t = m.get("tables").get("crawled")
         if (t != null) {
@@ -639,10 +693,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
         addCounters(countersOf(r))
       }
     }
-    val tmp = snapDir.resolve(".tmp-expired.json")
-    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    Files.move(tmp, expiredPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    persistExpiredNode(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
     expiredCache = Some(loadExpired()) // readers see the new horizon at once
 
     // 2. Delete what no retained reader can reach.

@@ -209,8 +209,13 @@ object ScalingBench {
         System.err.println(s"[scaling] barrier released")
       }
 
-      // drift probe immediately before the timed region (see bandwidthProbe)
-      val probe = bandwidthProbe(cpus)
+      // drift probe immediately before the timed region (see bandwidthProbe).
+      // GRAFT_PROBE_MIB sizes the per-thread scan: the default 1 GiB/thread
+      // assumes the big local-mode driver heap; a spark-submit driver
+      // (cluster campaign, 12-16g heap) must dial it down or 16 threads of
+      // probe alone exhaust the heap (measured: trial pair T0 OOM'd here).
+      val probe = bandwidthProbe(cpus,
+        sys.env.getOrElse("GRAFT_PROBE_MIB", "1024").toInt)
       System.err.println(f"[scaling] bandwidth probe: $probe%.2f GiB/s aggregate at $cpus threads")
 
       val t0 = System.nanoTime()

@@ -191,6 +191,58 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     assert(frontierSet(resumed, 7) == frontierSet(full, 7))
   }
 
+  test("hostRank priority (hostRankFromRound=2) ≡ oracle: the link-graph " +
+      "boost changes admission priorities identically on both sides") {
+    val cfg = CrawlConfig(rounds = 6, hostRankFromRound = 2)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+    assert(crawledTuples(catalog, 6) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 6) == oracleRes.seen)
+    assert(frontierSet(catalog, 6) == oracleFrontierSet(oracleRes))
+    (1 to 6).foreach { r =>
+      assert(catalog.countersOf(r) == oracleRes.counters(r - 1), s"round $r counters")
+    }
+    // non-vacuity: the signal actually fired — some discovery from round 4
+    // on carries a boosted priority (plain would be priorityAtRound(r))
+    val boosted = oracleRes.frontierEnd.count(e =>
+      e.discoveredRound >= cfg.hostRankFromRound + 2 &&
+        e.priority > Corpus.priorityAtRound(e.discoveredRound))
+    assert(boosted > 0, "no frontier entry carries a hostRank boost — vacuous")
+    // and it changed behavior vs the unboosted crawl, not just labels
+    val plain = CrawlOracle.run(oraclePages,
+      CrawlOracle.seeds(docs, cfg.copy(hostRankFromRound = 0)),
+      cfg.copy(hostRankFromRound = 0))
+    assert(oracleFrontierSet(plain) != oracleFrontierSet(oracleRes))
+  }
+
+  test("hostRank boost tier: SQL bit-length formula ≡ oracle integer log2 " +
+      "over a dense rank grid (incl. exact power-of-two boundaries)") {
+    import spark.implicits._
+    val n = 97L
+    // dense sweep through all tiers plus the exact tier boundaries
+    // (rank·n·4 = 2^k), where a naive float log2 would flap
+    val grid = (1 to 4000).map(i => i / (n * 4.0 * 3.0)) ++
+      (0 to 12).map(k => math.pow(2.0, k) / (n * 4.0))
+    val got = grid.toDF("rank")
+      .select(graft.datapipe.LinkRank.rankTier(col("rank"), n).as("tier"))
+      .collect().map(_.getInt(0)).toSeq
+    val want = grid.map(r => CrawlOracle.rankTierScalar(r, n))
+    assert(got == want)
+    assert(want.toSet == (0 to 9).toSet, s"grid missed tiers: ${want.toSet}")
+  }
+
+  test("hostRank kill/resume: boost recomputed from committed hostedges " +
+      "≡ uninterrupted (pure function of committed state)") {
+    val cfg = CrawlConfig(rounds = 6, hostRankFromRound = 2)
+    val full = engineCrawl(cfg)
+    val stateDir = tmpState()
+    engineCrawl(cfg.copy(rounds = 4), stateDir) // kill after the first boosted round
+    val resumed = engineCrawl(cfg, stateDir)    // resume 5..6: boost re-derived
+    assert(crawledTuples(resumed, 6) == crawledTuples(full, 6))
+    assert(seenSet(resumed, 6) == seenSet(full, 6))
+    assert(frontierSet(resumed, 6) == frontierSet(full, 6))
+  }
+
   test("kill/resume: rounds 0-1 then resume 2-3 ≡ uninterrupted 0-3") {
     val dirA = tmpState()
     engineCrawl(CrawlConfig(rounds = 1), dirA) // "killed" after round 1

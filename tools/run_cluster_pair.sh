@@ -25,7 +25,10 @@ SEEDS=${7:-400}
 mkdir -p "$OUT"
 
 export SPARK_HOME=/opt/spark
-JAR=target/scala-2.13/ecspiderspark_2.13-0.1.0.jar
+# GRAFT_JAR: frozen jar snapshot for long campaigns (same reason as
+# run_bench.sh's GRAFT_CLASSES — concurrent sbt builds must not swap the
+# jar under a running campaign)
+JAR=${GRAFT_JAR:-target/scala-2.13/ecspiderspark_2.13-0.1.0.jar}
 [ -f "$JAR" ] || { echo "missing $JAR — run: sbt package" >&2; exit 1; }
 
 MASTER_URL=spark://127.0.0.1:7077
@@ -56,11 +59,17 @@ echo "=== cluster pair $P: starting master + 5 workers $(date +%T) ===" | tee -a
   > "$CLUSTER_LOG_DIR/master.log" 2>&1 &
 PIDS+=($!)
 sleep 3
+# Memory budget (125 GiB box): the corpus ALSO lives in RAM (tmpfs), so
+# 5 executors × 12g + 2 drivers × 12g + 17 GiB corpus (rep=100) + tmpfs
+# shuffle ≈ 105 GiB peak. The r5 trial's 18g/16g sizing with a 34 GiB
+# corpus could OOM-kill mid-campaign.
+EXEC_MEM=${GRAFT_EXEC_MEM:-12g}
+DRIVER_MEM=${GRAFT_SUBMIT_DRIVER_MEM:-12g}
 for i in 1 2 3 4 5; do
   SPARK_WORKER_DIR="$CLUSTER_LOG_DIR/worker$i" \
   "$SPARK_HOME"/bin/spark-class org.apache.spark.deploy.worker.Worker \
     --host 127.0.0.1 --port $((40100 + i)) --webui-port $((40200 + i)) \
-    --cores 4 --memory 22g "$MASTER_URL" \
+    --cores 4 --memory "$EXEC_MEM" "$MASTER_URL" \
     > "$CLUSTER_LOG_DIR/worker$i.log" 2>&1 &
   PIDS+=($!)
 done
@@ -70,14 +79,16 @@ sleep 5
 BARRIER_DIR=$(mktemp -d /tmp/graft-barrier-XXXX)
 export GRAFT_BARRIER="$BARRIER_DIR/clpair$P,2"
 export GRAFT_MASTER=submit
+# the bandwidth probe must fit the submit driver's heap: 16 threads × 256 MiB
+export GRAFT_PROBE_MIB=${GRAFT_PROBE_MIB:-256}
 
 submit() { # $1=cores.max $2=label
   "$SPARK_HOME"/bin/spark-submit \
     --master "$MASTER_URL" --deploy-mode client \
     --class graft.spider.tools.ScalingBench \
-    --driver-memory 16g \
+    --driver-memory "$DRIVER_MEM" \
     --conf spark.executor.cores=4 \
-    --conf spark.executor.memory=18g \
+    --conf "spark.executor.memory=$EXEC_MEM" \
     --conf "spark.cores.max=$1" \
     --conf spark.ui.enabled=false \
     --conf spark.local.dir="$GRAFT_LOCAL_DIR" \

@@ -21,8 +21,14 @@ import graft.spider.synth.{CorpusStore, PagesSynth}
   */
 object ScalingBench {
 
-  case class LevelResult(cpus: Int, fetched: Long, secs: Double, probeGibs: Double) {
+  case class LevelResult(cpus: Int, fetched: Long, secs: Double, probeGibs: Double,
+      taskSecs: Double, deserSecs: Double, tasks: Long,
+      fetchWaitSecs: Double, gcSecs: Double, cpuSecs: Double) {
     def urlsPerSec: Double = fetched / secs
+    // fixed-cost decomposition (see TaskTimeMeter): the share of wall that is
+    // ideally-parallel executor work vs the level-constant serial floor
+    def workSecs: Double = taskSecs / cpus
+    def floorSecs: Double = secs - workSecs
   }
 
   /** Memory-bandwidth microprobe: `threads` private streaming long-sum
@@ -88,6 +94,8 @@ object ScalingBench {
       .config("spark.local.dir", sys.env.getOrElse("GRAFT_LOCAL_DIR", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val meter = new TaskTimeMeter
+    spark.sparkContext.addSparkListener(meter)
     try {
       // discarded warmup (JIT + codegen caches) on the small unreplicated
       // corpus, but over THREE rounds with the classic seen join forced:
@@ -218,12 +226,17 @@ object ScalingBench {
         sys.env.getOrElse("GRAFT_PROBE_MIB", "1024").toInt)
       System.err.println(f"[scaling] bandwidth probe: $probe%.2f GiB/s aggregate at $cpus threads")
 
+      meter.reset()
       val t0 = System.nanoTime()
       val catalog = CrawlDriver.run(spark, pages, seeds, robots, cfg, state)
       val secs = (System.nanoTime() - t0) / 1e9
+      meter.drain(spark.sparkContext)
       val fetched = (1 to rounds).map(r => catalog.countersOf(r).fetched).sum
-      System.err.println(s"[scaling] cpus=$cpus pages=$nPages fetched=$fetched secs=$secs")
-      LevelResult(cpus, fetched, secs, probe)
+      System.err.println(s"[scaling] cpus=$cpus pages=$nPages fetched=$fetched secs=$secs " +
+        f"task_secs=${meter.taskSecs}%.1f deser_secs=${meter.deserSecs}%.1f tasks=${meter.tasks.sum()} " +
+        f"fetch_wait=${meter.fetchWaitSecs}%.1f gc=${meter.gcSecs}%.1f")
+      LevelResult(cpus, fetched, secs, probe, meter.taskSecs, meter.deserSecs, meter.tasks.sum(),
+        meter.fetchWaitSecs, meter.gcSecs, meter.cpuSecs)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -243,7 +256,10 @@ object ScalingBench {
     // same JVM stalls sporadically in this sandbox; see BENCH/BASELINE.md).
     val results = cpusList.map(c => runAt(c, sfDir, replicate, rounds, noiseLen, perReplicaDocs))
     val parts = results.map { r =>
-      f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f,"probe_gibs":${r.probeGibs}%.2f}"""
+      f""""local[${r.cpus}]":{"fetched":${r.fetched},"secs":${r.secs}%.2f,"urls_per_sec":${r.urlsPerSec}%.1f,"probe_gibs":${r.probeGibs}%.2f,""" +
+        f""""task_secs":${r.taskSecs}%.1f,"work_secs":${r.workSecs}%.1f,"floor_secs":${r.floorSecs}%.1f,""" +
+        f""""deser_secs":${r.deserSecs}%.1f,"fetch_wait_secs":${r.fetchWaitSecs}%.1f,""" +
+        f""""gc_secs":${r.gcSecs}%.1f,"cpu_secs":${r.cpuSecs}%.1f,"tasks":${r.tasks}}"""
     }
     val eff =
       if (results.length >= 2 && results.last.cpus == results.head.cpus * 4)

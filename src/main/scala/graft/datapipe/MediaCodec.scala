@@ -213,21 +213,30 @@ object MediaCodec {
     }
     require(width > 0, "PNG missing IHDR")
     require(sawEnd, "PNG missing IEND")
+    Png(width, height, channels,
+      inflateAndUnfilter(idat.toByteArray, width, height, channels))
+  }
+
+  /** Inflate one PNG/APNG-frame deflate stream to exactly
+    * `height × (1 + width·channels)` filtered bytes, then unfilter. Frame
+    * regions in APNG are filtered independently with this same algorithm,
+    * so the helper is shared between [[decodePng]] and [[decodeApng]]. */
+  private def inflateAndUnfilter(deflated: Array[Byte], width: Int,
+      height: Int, channels: Int): Array[Byte] = {
     val stride = width * channels
     val raw = new Array[Byte](height * (1 + stride))
     val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
+    inflater.setInput(deflated)
     var off = 0
     while (!inflater.finished() && off < raw.length) {
       val n = inflater.inflate(raw, off, raw.length - off)
       require(n > 0 || inflater.finished(),
-        "PNG IDAT stream ended early (corrupt or truncated deflate data)")
+        "PNG pixel stream ended early (corrupt or truncated deflate data)")
       off += n
     }
     inflater.end()
     require(off == raw.length,
       s"PNG pixel data short: $off of ${raw.length} bytes")
-    // unfilter scanlines in place into the output
     val out = new Array[Byte](height * stride)
     def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
@@ -258,7 +267,220 @@ object MediaCodec {
       }
       y += 1
     }
-    Png(width, height, channels, out)
+    out
+  }
+
+  // --------------------------------------------------------------- APNG --
+  // Animated PNG (the PNG spec's animation chunks: acTL / fcTL / fdAT) —
+  // the one VIDEO-shaped container a pure JVM can decode, which turns the
+  // frame-sampling operator from a declared stub into a real decode path.
+  // The animation chunks are ancillary, so [[decodePng]] on an APNG still
+  // returns the default image (frame 0) — image consumers need no change.
+  // Scope mirrors the still decoder (8-bit, color types 0/2/6) plus:
+  // dispose_op 0 (none) / 1 (background), blend_op 0 (source); frame
+  // regions may be sub-rectangles with offsets. CRCs verified per chunk.
+
+  /** One composed animation: full-canvas pixel buffers per frame (the
+    * region/dispose/blend composition already applied). */
+  case class Apng(width: Int, height: Int, channels: Int,
+      frames: IndexedSeq[Array[Byte]], delaysMs: IndexedSeq[Long])
+
+  /** True when the payload is a PNG that declares animation (an `acTL`
+    * chunk before the first `IDAT`) — a light structural scan, no CRC. */
+  def isApng(bytes: Array[Byte]): Boolean = {
+    if (sniff(bytes) != IsPng) return false
+    val buf = ByteBuffer.wrap(bytes)
+    var pos = 8
+    while (pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      if (len < 0 || pos + 12 + len > bytes.length) return false
+      new String(bytes, pos + 4, 4, "US-ASCII") match {
+        case "acTL"          => return true
+        case "IDAT" | "IEND" => return false
+        case _               =>
+      }
+      pos += 12 + len
+    }
+    false
+  }
+
+  /** Truecolor APNG from (frame, x, y) → (r, g, b): full-canvas frames,
+    * filter 0, dispose none / blend source. `delayNum/delayDen` is the
+    * per-frame delay fraction in seconds (PNG spec semantics). */
+  def encodeApng(width: Int, height: Int, nFrames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int),
+      delayNum: Int = 1, delayDen: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(nFrames >= 1, s"need at least one frame, got $nFrames")
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      out.toByteArray
+    }
+    def rawFrame(f: Int): Array[Byte] = {
+      val raw = new Array[Byte](height * (1 + width * 3))
+      var y = 0
+      while (y < height) {
+        val row = y * (1 + width * 3)
+        raw(row) = 0 // filter: None
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = px(f, x, y)
+          raw(row + 1 + x * 3) = r.toByte
+          raw(row + 2 + x * 3) = g.toByte
+          raw(row + 3 + x * 3) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      raw
+    }
+    def fcTL(seq: Int): Array[Byte] =
+      ByteBuffer.allocate(26).putInt(seq).putInt(width).putInt(height)
+        .putInt(0).putInt(0) // x/y offset
+        .putShort(delayNum.toShort).putShort(delayDen.toShort)
+        .put(0: Byte).put(0: Byte) // dispose none, blend source
+        .array()
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8: Byte).put(2: Byte)
+      .put(0: Byte).put(0: Byte).put(0: Byte).array()
+    val acTL = ByteBuffer.allocate(8).putInt(nFrames).putInt(0).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("acTL", acTL))
+    out.write(pngChunk("fcTL", fcTL(0))) // frame 0 IS the default image
+    out.write(pngChunk("IDAT", deflate(rawFrame(0))))
+    var f = 1
+    while (f < nFrames) {
+      out.write(pngChunk("fcTL", fcTL(2 * f - 1)))
+      val data = deflate(rawFrame(f))
+      out.write(pngChunk("fdAT",
+        ByteBuffer.allocate(4 + data.length).putInt(2 * f).put(data).array()))
+      f += 1
+    }
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Walk the animation chunks, inflate + unfilter each frame region
+    * independently (per spec), and compose onto the canvas. Sequence
+    * numbers are validated consecutive-from-0; chunk CRCs verified. */
+  def decodeApng(bytes: Array[Byte]): Apng = {
+    require(sniff(bytes) == IsPng, "not a PNG payload")
+    val buf = ByteBuffer.wrap(bytes)
+    var pos = 8
+    var width = -1; var height = -1; var channels = -1
+    var declaredFrames = -1
+    // per-frame accumulation: control record + that frame's deflate bytes
+    case class Ctl(seq: Int, w: Int, h: Int, x: Int, y: Int,
+        delayNum: Int, delayDen: Int, dispose: Int, blend: Int)
+    val ctls = scala.collection.mutable.ArrayBuffer[Ctl]()
+    val datas = scala.collection.mutable.ArrayBuffer[java.io.ByteArrayOutputStream]()
+    var nextSeq = 0
+    var sawIdat = false
+    var idatIsFrame0 = false
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG chunk at $pos (len $len)")
+      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"PNG chunk $kind CRC mismatch at $pos")
+      kind match {
+        case "IHDR" =>
+          require(len == 13, s"bad IHDR length $len")
+          width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
+          require(bytes(pos + 16) == 8, "unsupported APNG bit depth (8 only)")
+          channels = bytes(pos + 17) match {
+            case 0 => 1
+            case 2 => 3
+            case 6 => 4
+            case t => throw new IllegalArgumentException(
+              s"unsupported PNG color type $t (gray/RGB/RGBA only)")
+          }
+          require(bytes(pos + 20) == 0, "interlaced APNG not supported")
+          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+            s"implausible PNG dimensions ${width}x$height")
+        case "acTL" =>
+          require(len == 8, s"bad acTL length $len")
+          declaredFrames = buf.getInt(pos + 8)
+          require(declaredFrames >= 1, s"bad acTL frame count $declaredFrames")
+        case "fcTL" =>
+          require(len == 26, s"bad fcTL length $len")
+          val c = Ctl(buf.getInt(pos + 8), buf.getInt(pos + 12), buf.getInt(pos + 16),
+            buf.getInt(pos + 20), buf.getInt(pos + 24),
+            buf.getShort(pos + 28) & 0xffff, buf.getShort(pos + 30) & 0xffff,
+            bytes(pos + 32) & 0xff, bytes(pos + 33) & 0xff)
+          require(c.seq == nextSeq, s"fcTL sequence ${c.seq}, expected $nextSeq")
+          nextSeq += 1
+          require(c.w > 0 && c.h > 0 && c.x >= 0 && c.y >= 0 &&
+            c.x + c.w <= width && c.y + c.h <= height,
+            s"frame region ${c.w}x${c.h}+${c.x}+${c.y} outside ${width}x$height canvas")
+          require(c.dispose <= 1, s"unsupported dispose_op ${c.dispose} (none/background only)")
+          require(c.blend == 0, s"unsupported blend_op ${c.blend} (source only)")
+          if (!sawIdat) idatIsFrame0 = true
+          ctls += c
+          datas += new java.io.ByteArrayOutputStream()
+        case "IDAT" =>
+          sawIdat = true
+          if (idatIsFrame0) datas.head.write(bytes, pos + 8, len)
+        case "fdAT" =>
+          require(len >= 4, s"bad fdAT length $len")
+          require(buf.getInt(pos + 8) == nextSeq,
+            s"fdAT sequence ${buf.getInt(pos + 8)}, expected $nextSeq")
+          nextSeq += 1
+          require(datas.nonEmpty, "fdAT before any fcTL")
+          datas.last.write(bytes, pos + 12, len - 4)
+        case "IEND" => sawEnd = true
+        case _      => // ancillary chunk — skip
+      }
+      pos += 12 + len
+    }
+    require(width > 0, "PNG missing IHDR")
+    require(sawEnd, "PNG missing IEND")
+    require(declaredFrames > 0, "not an APNG (no acTL chunk)")
+    require(ctls.length == declaredFrames,
+      s"acTL declares $declaredFrames frames, found ${ctls.length} fcTL chunks")
+    if (idatIsFrame0) { // default image is frame 0: region must be full canvas
+      val c = ctls.head
+      require(c.x == 0 && c.y == 0 && c.w == width && c.h == height,
+        "frame 0 (default image) must cover the full canvas")
+    }
+    val stride = width * channels
+    val canvas = new Array[Byte](height * stride)
+    val frames = Vector.newBuilder[Array[Byte]]
+    val delays = Vector.newBuilder[Long]
+    var i = 0
+    while (i < ctls.length) {
+      val c = ctls(i)
+      val region = inflateAndUnfilter(datas(i).toByteArray, c.w, c.h, channels)
+      var ry = 0
+      while (ry < c.h) { // blend_op 0: overwrite the region
+        System.arraycopy(region, ry * c.w * channels,
+          canvas, (c.y + ry) * stride + c.x * channels, c.w * channels)
+        ry += 1
+      }
+      frames += canvas.clone()
+      delays += c.delayNum * 1000L / (if (c.delayDen == 0) 100 else c.delayDen)
+      if (c.dispose == 1) { // background: clear the region before next frame
+        var dy = 0
+        while (dy < c.h) {
+          java.util.Arrays.fill(canvas, (c.y + dy) * stride + c.x * channels,
+            (c.y + dy) * stride + (c.x + c.w) * channels, 0: Byte)
+          dy += 1
+        }
+      }
+      i += 1
+    }
+    Apng(width, height, channels, frames.result(), delays.result())
   }
 
   // ---------------------------------------------------------------- WAV --

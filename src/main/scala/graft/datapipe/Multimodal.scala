@@ -10,12 +10,12 @@ import graft.spider.core.Hash64
   * pipeline needs.
   *
   * Decode is REAL for the container formats a pure JVM can parse — BMP
-  * (24-bit), PNG (8-bit gray/RGB/RGBA via java.util.zip.Inflater) and WAV
-  * (PCM16), see [[MediaCodec]] — with decoded dimensions / sample counts
-  * surfaced in the output and features computed from actual pixels /
-  * samples. Remaining compressed formats (JPEG/MP3/H.264) stay behind the
-  * deterministic `decodeStub` (their codecs do not ship in this
-  * container), clearly tagged `codec = "opaque"`. Everything around the
+  * (24-bit), PNG (8-bit gray/RGB/RGBA via java.util.zip.Inflater), animated
+  * PNG (frame sampling) and WAV (PCM16), see [[MediaCodec]] — with decoded
+  * dimensions / sample counts surfaced in the output and features computed
+  * from actual pixels / samples. Remaining compressed formats
+  * (JPEG/MP3/H.264) stay behind the deterministic `decodeStub` (their
+  * codecs do not ship in this container), clearly tagged `codec = "opaque"`. Everything around the
   * dispatch is the same load-bearing scaffold either way — the schema, the
   * binary column handling, the batched per-partition execution shape
   * (mirroring an Arrow-batched UDF: rows are processed in fixed-size
@@ -34,11 +34,12 @@ object Multimodal {
       n_samples: Long)
 
   /** Deterministic synthetic media table derived from documents: binary
-    * payload + typed metadata columns. Image rows carry REAL 24-bit BMP
-    * bytes and audio rows REAL PCM16 WAV bytes (synthesized via
-    * [[MediaCodec]], pixel/sample content a pure function of doc_id), so
-    * the decode path downstream is exercised end-to-end; video rows keep an
-    * opaque payload (stub path). */
+    * payload + typed metadata columns. Image rows carry REAL 24-bit BMP or
+    * PNG bytes, audio rows REAL PCM16 WAV bytes, and half the video rows
+    * REAL animated-PNG bytes (synthesized via [[MediaCodec]], pixel/sample
+    * content a pure function of doc_id), so decode AND frame-sampling
+    * downstream are exercised end-to-end; the other video rows keep an
+    * opaque payload (the declared stub path for codecs outside the JVM). */
   def synthMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -74,13 +75,28 @@ object Multimodal {
           val bytes = MediaCodec.encodeWav(rate, 1, samples)
           MediaRow(id, kind, bytes, -1, -1, n * 1000L / rate, "audio/wav")
         case _ =>
-          // opaque payload — stands in for compressed media (stub path)
-          val bytes = (text * 3).getBytes("UTF-8").take(4096)
-          MediaRow(id, kind, bytes,
-            (Hash64.pmod(Hash64.string(s"$id-w"), 1024L) + 256).toInt,
-            (Hash64.pmod(Hash64.string(s"$id-h"), 768L) + 256).toInt,
-            Hash64.pmod(Hash64.string(s"$id-d"), 60000L),
-            "application/octet-stream")
+          // video: half the rows carry a REAL animated-PNG payload (the one
+          // video-shaped container a pure JVM decodes — frame sampling
+          // downstream is a real decode path); the other half keep the
+          // opaque payload standing in for compressed codecs (stub path)
+          if (Hash64.pmod(Hash64.string(s"$id-c"), 2L) == 0L) {
+            val w = (Hash64.pmod(Hash64.string(s"$id-w"), 12L) + 6).toInt
+            val hh = (Hash64.pmod(Hash64.string(s"$id-h"), 12L) + 6).toInt
+            val nf = (Hash64.pmod(Hash64.string(s"$id-f"), 6L) + 2).toInt
+            def px(f: Int, x: Int, y: Int): (Int, Int, Int) = {
+              val p = Hash64.string(s"$id:$f:$x:$y")
+              (((p >>> 16) & 0xff).toInt, ((p >>> 8) & 0xff).toInt, (p & 0xff).toInt)
+            }
+            MediaRow(id, kind, MediaCodec.encodeApng(w, hh, nf, px),
+              w, hh, nf * 100L, "image/apng")
+          } else {
+            val bytes = (text * 3).getBytes("UTF-8").take(4096)
+            MediaRow(id, kind, bytes,
+              (Hash64.pmod(Hash64.string(s"$id-w"), 1024L) + 256).toInt,
+              (Hash64.pmod(Hash64.string(s"$id-h"), 768L) + 256).toInt,
+              Hash64.pmod(Hash64.string(s"$id-d"), 60000L),
+              "application/octet-stream")
+          }
       }
     }.toDF()
   }
@@ -208,20 +224,50 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample stub: pick k deterministic offsets into the payload
-    * (stands in for video frame sampling); returns (media_id, frame_idx,
-    * frame_hash). Pure DataFrame plan around a tiny per-row kernel. */
-  def frameSample(media: DataFrame, k: Int = 4): DataFrame = {
-    media.select(col("media_id"), col("bytes"),
-        posexplode(transform(sequence(lit(0), lit(k - 1)),
-          i => pmod(xxhash64(concat(col("media_id").cast("string"), i.cast("string"))),
-            greatest(octet_length(col("bytes")).cast("long"), lit(1L))))))
-      .withColumnRenamed("pos", "frame_idx")
-      .withColumn("frame_hash", xxhash64(substring(col("bytes"),
-        (col("col") + 1).cast("int"), lit(64))))
-      .select("media_id", "frame_idx", "frame_hash")
-  }
+  /** One sampled frame. For a decodable animation (`codec = "apng"`)
+    * `frame_idx` is the real frame index, `frame_hash` hashes the composed
+    * full-canvas pixels of that frame and `n_frames` the decoded frame
+    * count. For undecodable payloads (`codec = "opaque"`) the row falls
+    * back to the deterministic byte-window fallback (k pseudo-frames,
+    * `n_frames = -1`) so every media row still yields sample rows. */
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_hash: Long,
+      codec: String, n_frames: Int)
 
-  private def pmod(c: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
-    org.apache.spark.sql.functions.pmod(c, m)
+  /** Frame sampling over the binary column: decode the animation and take
+    * (up to) k frames evenly spaced over its real frame sequence. REAL for
+    * animated PNG via [[MediaCodec.decodeApng]]; other containers (H.264
+    * etc. — codecs not in this container) take the declared byte-window
+    * fallback, tagged `opaque`. Batched per-partition kernel — the same
+    * Arrow-UDF execution shape as [[extractFeatures]]; a distributed
+    * per-row map, no shuffle. */
+  def frameSample(media: DataFrame, k: Int = 4, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would go here (decoder init)
+          batch.iterator.flatMap { case (id, bytes) =>
+            if (MediaCodec.isApng(bytes)) {
+              val anim = MediaCodec.decodeApng(bytes)
+              val n = anim.frames.length
+              // evenly spaced over the real frame sequence; distinct keeps
+              // short animations (n < k) from duplicating frames
+              (0 until k).map(j => j * n / k).distinct.map { f =>
+                FrameRow(id, f, Hash64.bytes(anim.frames(f)), "apng", n)
+              }
+            } else {
+              // fallback: k deterministic 64-byte windows into the payload
+              val len = math.max(1, bytes.length)
+              (0 until k).map { j =>
+                val off = Hash64.pmod(Hash64.string(s"$id$j"), len.toLong).toInt
+                val win = java.util.Arrays.copyOfRange(bytes, off,
+                  math.min(bytes.length, off + 64))
+                FrameRow(id, j, Hash64.bytes(win), "opaque", -1)
+              }
+            }
+          }
+        }
+      }.toDF()
+  }
 }

@@ -802,7 +802,8 @@ object Demos {
         .orderBy("media_id")
     }),
 
-    // multimodal: deterministic frame sampling over the binary payload
+    // multimodal: frame sampling — REAL animated-PNG decode where the
+    // payload is APNG, deterministic byte-window fallback otherwise
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthMedia(s, dir), k = 4)
         .orderBy("media_id", "frame_idx")))

@@ -19,6 +19,10 @@ object Hash64 {
     XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed)
   }
 
+  /** Equals Spark SQL `xxhash64(b)` for a non-null binary column. */
+  def bytes(b: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+
   /** Floor-mod into [0, m). */
   def pmod(h: Long, m: Long): Long = { val r = h % m; if (r < 0) r + m else r }
 }

@@ -63,7 +63,15 @@ object SkewBench {
       .config("spark.driver.host", "localhost")
       .config("spark.driver.bindAddress", "127.0.0.1")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("GRAFT_LOG", "WARN"))
+    // OptimizeSkewedJoin logs its split/decline decisions at DEBUG; raise
+    // just the adaptive package (root stays at WARN) so the decision trail
+    // is readable: GRAFT_AQE_LOG=DEBUG tools/run_bench.sh ... 2>trail.log
+    sys.env.get("GRAFT_AQE_LOG").foreach { lvl =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.adaptive",
+        org.apache.logging.log4j.Level.toLevel(lvl))
+    }
     val meter = new TaskMeter
     spark.sparkContext.addSparkListener(meter)
 

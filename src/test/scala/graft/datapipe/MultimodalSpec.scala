@@ -98,12 +98,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
           assert(f.n_samples * 1000L / 8000 == src.duration_ms,
             s"media ${f.media_id}: ${f.n_samples} samples vs duration ${src.duration_ms}")
         case "video" =>
-          assert(f.codec == "opaque" && f.decoded_w == -1 && f.n_samples == -1L)
+          if (src.mime == "image/apng") {
+            // real APNG payload: the still decoder reads its default image
+            // (frame 0) — the animation chunks are ancillary
+            assert(f.codec == "png" && f.decoded_w == src.width &&
+              f.decoded_h == src.height, s"media ${f.media_id}")
+          } else {
+            assert(f.codec == "opaque" && f.decoded_w == -1 && f.n_samples == -1L)
+          }
       }
     }
     // both image containers are present and take their REAL decode paths
     val imageCodecs = feats.filter(_.kind == "image").map(_.codec).toSet
     assert(imageCodecs == Set("bmp", "png"), s"image codecs: $imageCodecs")
+    // and the video column carries both the real-APNG and the opaque path
+    val videoMimes = feats.filter(_.kind == "video")
+      .map(f => byId(f.media_id).mime).toSet
+    assert(videoMimes == Set("image/apng", "application/octet-stream"),
+      s"video mimes: $videoMimes")
   }
 
   test("PNG roundtrip: encode → decode recovers dimensions and every pixel; " +
@@ -224,10 +236,123 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f(0) == f(1) && f(1) == f(2))
   }
 
-  test("frameSample: k frames per media, deterministic offsets") {
-    val out = Multimodal.frameSample(Multimodal.synthMedia(spark, sfDir), k = 4)
-    assert(out.count() == 2000)
-    val per = out.groupBy("media_id").count().agg(min("count"), max("count")).head()
-    assert(per.getLong(0) == 4 && per.getLong(1) == 4)
+  test("APNG roundtrip: encode k frames → decodeApng recovers every frame pixel + delays") {
+    val (w, h, n) = (9, 5, 5)
+    def px(f: Int, x: Int, y: Int): (Int, Int, Int) =
+      ((f * 41 + x * 17 + y) % 256, (f + y * 31) % 256, (f ^ x ^ y) % 256)
+    val bytes = MediaCodec.encodeApng(w, h, n, px, delayNum = 1, delayDen = 10)
+    assert(MediaCodec.isApng(bytes))
+    assert(!MediaCodec.isApng(MediaCodec.encodePng(4, 4, (x, y) => (x, y, 0))))
+    val anim = MediaCodec.decodeApng(bytes)
+    assert(anim.width == w && anim.height == h && anim.channels == 3)
+    assert(anim.frames.length == n)
+    assert(anim.delaysMs.forall(_ == 100L))
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(f, x, y)
+      val off = (y * w + x) * 3
+      val fr = anim.frames(f)
+      assert((fr(off) & 0xff) == r && (fr(off + 1) & 0xff) == g &&
+        (fr(off + 2) & 0xff) == b, s"frame $f pixel ($x,$y)")
+    }
+    // the animation chunks are ancillary: the STILL decoder sees frame 0
+    val still = MediaCodec.decodePng(bytes)
+    assert(still.pixels.sameElements(anim.frames.head))
+    // malformed input rejected, not mis-decoded: corrupt an fdAT byte (CRC),
+    // then truncate mid-stream
+    val corrupt = bytes.clone()
+    val fdatAt = {
+      var p = 8; var at = -1
+      while (at < 0) {
+        val len = java.nio.ByteBuffer.wrap(corrupt).getInt(p)
+        if (new String(corrupt, p + 4, 4, "US-ASCII") == "fdAT") at = p + 12
+        else p += 12 + len
+      }
+      at
+    }
+    corrupt(fdatAt) = (corrupt(fdatAt) ^ 0x5a).toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decodeApng(corrupt))
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeApng(bytes.take(bytes.length / 2)))
+  }
+
+  test("APNG composition: sub-region frame + dispose background, hand-built stream") {
+    // gray 4x4 canvas: frame 0 = all 100 (full, dispose 1 = background),
+    // frame 1 = 2x2 region of 200s at offset (1,1), dispose 0
+    def chunk(kind: String, data: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + data.length)
+      buf.putInt(data.length).put(kind.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(kind.getBytes("US-ASCII")); crc.update(data)
+      buf.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val tmp = new Array[Byte](4096)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    def fctl(seq: Int, w: Int, h: Int, x: Int, y: Int, dispose: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(26).putInt(seq).putInt(w).putInt(h)
+        .putInt(x).putInt(y).putShort(1).putShort(10)
+        .put(dispose.toByte).put(0: Byte).array()
+    def rawGray(w: Int, h: Int, v: Byte): Array[Byte] =
+      Array.tabulate[Byte](h * (1 + w))(i => if (i % (1 + w) == 0) 0 else v)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(4).putInt(4).put(8: Byte).put(0: Byte)
+      .put(0: Byte).put(0: Byte).put(0: Byte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val fdat1 = {
+      val d = deflate(rawGray(2, 2, 200.toByte))
+      java.nio.ByteBuffer.allocate(4 + d.length).putInt(2).put(d).array()
+    }
+    val bytes = sig ++ chunk("IHDR", ihdr) ++
+      chunk("acTL", java.nio.ByteBuffer.allocate(8).putInt(2).putInt(0).array()) ++
+      chunk("fcTL", fctl(0, 4, 4, 0, 0, dispose = 1)) ++
+      chunk("IDAT", deflate(rawGray(4, 4, 100.toByte))) ++
+      chunk("fcTL", fctl(1, 2, 2, 1, 1, dispose = 0)) ++
+      chunk("fdAT", fdat1) ++
+      chunk("IEND", Array.emptyByteArray)
+    val anim = MediaCodec.decodeApng(bytes)
+    assert(anim.channels == 1 && anim.frames.length == 2)
+    assert(anim.frames(0).forall(b => (b & 0xff) == 100))
+    // frame 1: dispose=background cleared frame 0's region (full canvas),
+    // then the 2x2 region of 200s landed at (1,1)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expect = if (x >= 1 && x <= 2 && y >= 1 && y <= 2) 200 else 0
+      assert((anim.frames(1)(y * 4 + x) & 0xff) == expect, s"frame 1 pixel ($x,$y)")
+    }
+  }
+
+  test("frameSample: real APNG frames where decodable, byte-window fallback otherwise") {
+    import spark.implicits._
+    val media = Multimodal.synthMedia(spark, sfDir)
+    val out = Multimodal.frameSample(media, k = 4)
+      .as[Multimodal.FrameRow].collect()
+    val byCodec = out.groupBy(_.codec)
+    assert(byCodec.keySet == Set("apng", "opaque"))
+    // fallback rows: exactly k per media
+    val perOpaque = byCodec("opaque").groupBy(_.media_id).values.map(_.length)
+    assert(perOpaque.forall(_ == 4))
+    // apng rows: real frame indices, evenly sampled over the decoded count
+    val apng = byCodec("apng")
+    assert(apng.nonEmpty)
+    assert(apng.forall(r => r.n_frames >= 2 && r.n_frames <= 7))
+    assert(apng.forall(r => r.frame_idx >= 0 && r.frame_idx < r.n_frames))
+    val perApng = apng.groupBy(_.media_id)
+    assert(perApng.values.forall(rs =>
+      rs.length == (0 until 4).map(j => j * rs.head.n_frames / 4).distinct.length))
+    // hashes match a direct decode of that media row's payload
+    val one = perApng.head
+    val bytes = media.filter(col("media_id") === one._1)
+      .head().getAs[Array[Byte]]("bytes")
+    val anim = MediaCodec.decodeApng(bytes)
+    one._2.foreach { r =>
+      assert(r.frame_hash == graft.spider.core.Hash64.bytes(anim.frames(r.frame_idx)))
+    }
+    // deterministic across runs
+    val again = Multimodal.frameSample(media, k = 4)
+      .as[Multimodal.FrameRow].collect()
+    assert(out.map(r => (r.media_id, r.frame_idx, r.frame_hash)).sorted
+      .sameElements(again.map(r => (r.media_id, r.frame_idx, r.frame_hash)).sorted))
   }
 }

@@ -92,10 +92,19 @@ object SkewBench {
       def run(label: String, aqe: Boolean, skewJoin: Boolean)(join: => DataFrame): Unit = {
         spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
-        // make the skew splitter fire at bench volume, not only at 256 MB+
+        // make the skew splitter fire at bench volume, not only at 256 MB+.
+        // GRAFT_SKEW_THRESHOLD overrides the byte floor: the r5 DEBUG trail
+        // showed the 18M-row hostA partition compresses to 5.9 MB once
+        // column-pruned to the constant join key, so byte thresholds ≥ 8 MB
+        // see "0 skewed partitions" while the row spread is 8×.
         spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          sys.env.getOrElse("GRAFT_SKEW_THRESHOLD", "8m"))
+        // advisory also gates the split: createSkewPartitionSpecs abandons a
+        // split that would yield a single ≥-advisory-sized part, so advisory
+        // must sit BELOW the compressed hot-partition size for a split
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          sys.env.getOrElse("GRAFT_ADVISORY", "8m"))
         // warmup (JIT) on a slice, then the timed run
         join.limit(1).count()
         meter.reset()

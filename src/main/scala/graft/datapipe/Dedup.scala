@@ -111,6 +111,31 @@ object Dedup {
       .drop("__bucket_n")
   }
 
+  /** Exact-dup pre-collapse plus the per-representative MinHash state:
+    * (reps = one row per distinct text carrying `id`, `shingles`
+    * (array<string>, distinct), `sh_hashes` and `sig` (array<long> of
+    * `numHashes` minima); stars = (id_a = rep, id_b = member) exact-dup
+    * edges). Public so a verification harness can materialize the
+    * signatures and re-derive the banded pairing INDEPENDENTLY: all-pairs
+    * band-slice matching + exact Jaccard over this table must reproduce
+    * [[minhashPairs]] exactly whenever no bucket exceeds the hot cap (the
+    * `dedup_minhash` DuckDB oracle does precisely that). */
+  def minhashState(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64): (DataFrame, DataFrame) = {
+    val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // pre-collapse exact duplicates on the text hash (the same 64-bit-key
+    // stance as exactDedup and the crawl seen set)
+    val (reps0, stars) = collapseExact(all, xxhash64(col("text")))
+    val base = reps0
+      .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
+      // materialize the shingle hashes so the 64 array_min's share one array
+      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sig", array(permParams(numHashes).map { case (a, _) =>
+        array_min(transform(col("sh_hashes"), h => xxhash64(h.bitwiseXOR(lit(a)))))
+      }: _*))
+    (base, stars)
+  }
+
   /** Rep-level MinHash-LSH candidate pairs (pre-verification) — exposed
     * package-private for the plan audit and the candidate-volume spec. */
   private[datapipe] def minhashCandidates(
@@ -120,18 +145,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
 
-    val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    // pre-collapse exact duplicates on the text hash (the same 64-bit-key
-    // stance as exactDedup and the crawl seen set)
-    val (reps0, stars) = collapseExact(all, xxhash64(col("text")))
-
-    val base = reps0
-      .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
-      // materialize the shingle hashes so the 64 array_min's share one array
-      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", array(permParams(numHashes).map { case (a, _) =>
-        array_min(transform(col("sh_hashes"), h => xxhash64(h.bitwiseXOR(lit(a)))))
-      }: _*))
+    val (base0, stars) = minhashState(df, idCol, textCol, k, numHashes)
+    val base = base0
       // sub-split key: an extra `subRows`-hash band from permutations the
       // signature does not use — an independent family, so rows that share
       // a hot bucket by saturation (not similarity) scatter, while a true
@@ -204,6 +219,19 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
+  /** The (id, simhash) fingerprint table [[simhashPairs]] pairs over.
+    * Public so a verification harness can materialize the fingerprints and
+    * re-derive the pairing INDEPENDENTLY: because the multi-table banding
+    * has exact recall within `maxHamming` (pigeonhole, see
+    * [[simhashCandidates]]), an all-pairs `bit_count(xor)` over this table
+    * must reproduce [[simhashPairs]] exactly whenever no bucket exceeds the
+    * hot cap (the `dedup_simhash` DuckDB oracle does precisely that). */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import PipeFunctions._
+    df.select(col(idCol).as("id"),
+      simhash64(array_distinct(tokensCol(col(textCol)))).as("simhash"))
+  }
+
   /** SimHash candidate pairs (pre-verification) under Manku-style
     * multi-table banding: split the 64-bit fingerprint into
     * `blocks = maxHamming + 2` bit-blocks; ≤ maxHamming differing bits
@@ -228,8 +256,7 @@ object Dedup {
     }
     val combos = for (i <- 0 until blocks; j <- (i + 1) until blocks) yield (i, j)
 
-    val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("simhash", simhash64(array_distinct(tokensCol(col("text")))))
+    val all = simhashTable(df, idCol, textCol)
     // pre-collapse identical fingerprints (hamming 0 by definition — every
     // exact text duplicate, and any token-set duplicate, lands here): a
     // 10^6-copy boilerplate group otherwise shares the bucket of EVERY

@@ -117,6 +117,18 @@ object Demos {
         .coalesce(1).write.mode("overwrite").parquet(p)
     }
 
+  /** Outlink edges recomputed by the single-threaded CrawlOracle synth —
+    * shared by the extract_outlinks expected-fixture and the link_rank
+    * power-iteration oracle (both read the same parquet). */
+  private def ensureOutlinksFixture(s: SparkSession, dir: String): Unit =
+    ensureFixture("oracleoutlinks", dir) { p =>
+      import s.implicits._
+      graft.spider.CrawlOracle.synthPages(oracleDocs(s, dir))
+        .flatMap(pg => HtmlCodec.extractOutlinks(pg.html).map(o => (pg.url, o)))
+        .toDF("url", "outlink")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
   /** documents rows collected once per (session, sf) — the single-threaded
     * oracle replays (CrawlOracle, shared kernels) run over these. */
   private val oracleDocsCache =
@@ -498,13 +510,7 @@ object Demos {
     // shared-core extractor replayed over the oracle corpus (one impl,
     // two executions; the DuckDB row checks the distributed path)
     "extract_outlinks" -> ((s, dir) => {
-      ensureFixture("oracleoutlinks", dir) { p =>
-        import s.implicits._
-        graft.spider.CrawlOracle.synthPages(oracleDocs(s, dir))
-          .flatMap(pg => HtmlCodec.extractOutlinks(pg.html).map(o => (pg.url, o)))
-          .toDF("url", "outlink")
-          .coalesce(1).write.mode("overwrite").parquet(p)
-      }
+      ensureOutlinksFixture(s, dir)
       pages(s, dir).select(col("url"),
         explode(extract_outlinks(col("html"))).as("outlink"))
         .orderBy("url", "outlink")
@@ -512,14 +518,20 @@ object Demos {
 
     // link-graph rank: PageRank over the host graph extracted from the
     // corpus outlinks — the crawl-ordering / quality-prior signal. Fixed
-    // 10 iterations (deterministic); no ANSI-SQL oracle (iterative
-    // floating-point) — LinkRankSpec checks the operator against a
-    // sequential power-method reference at 1e-9.
+    // 10 iterations (deterministic). DuckDB-checked (r5): the oracle
+    // unrolls the same 10 power iterations in SQL over the independently
+    // synthesized outlinks fixture (itself byte-checked by the
+    // extract_outlinks key); ranks rounded to 9 decimals on both sides so
+    // float-summation-order ulps cannot flip the compare (LinkRankSpec
+    // still checks the unrounded operator at 1e-9).
     "link_rank" -> ((s, dir) => {
+      ensureOutlinksFixture(s, dir)
       val edges = pages(s, dir).select(url_host(col("url")).as("src_host"),
           explode(extract_outlinks(col("html"))).as("out"))
         .select(col("src_host"), url_host(col("out")).as("dst_host"))
-      LinkRank.hostRank(edges).orderBy("host")
+      LinkRank.hostRank(edges)
+        .withColumn("rank", round(col("rank"), 9))
+        .orderBy("host")
     }),
 
     // F1/E7: robots gate — DuckDB-checked (VERDICT r3 task #6): the rules
@@ -671,22 +683,42 @@ object Demos {
         .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
         .orderBy("user_id", "session_start")),
 
-    // MinHash-LSH near-dup over a corpus with injected near-duplicates
+    // MinHash-LSH near-dup over a corpus with injected near-duplicates.
+    // DuckDB-checked (r5): the query materializes the per-representative
+    // MinHash state (signatures + shingles) and the exact-dup stars; the
+    // oracle re-derives the ENTIRE pairing independently — all-pairs band-
+    // slice matching over the signatures + exact Jaccard over the shingles
+    // (no bucket exceeds the hot cap at this size, so banded ≡ all-pairs).
     "dedup_minhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val near = d.withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail marker extra")))
-      Dedup.minhashPairs(d.unionByName(near), "doc_id", "text",
+      val input = d.unionByName(near)
+      ensureFixture("minhashstate", dir) { p =>
+        val (reps, stars) = Dedup.minhashState(input, "doc_id", "text",
+          k = 3, numHashes = 64)
+        reps.select("id", "sig", "shingles")
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/reps")
+        stars.coalesce(1).write.mode("overwrite").parquet(s"$p/stars")
+      }
+      Dedup.minhashPairs(input, "doc_id", "text",
           k = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash near-dup
+    // SimHash near-dup. DuckDB-checked (r5): recall within maxHamming is
+    // EXACT by pigeonhole, so all-pairs bit_count(xor) over the
+    // materialized fingerprint table must equal the banded join's output.
     "dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val near = d.withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" zz")))
-      Dedup.simhashPairs(d.unionByName(near), "doc_id", "text", maxHamming = 3)
+      val input = d.unionByName(near)
+      ensureFixture("simhashtable", dir) { p =>
+        Dedup.simhashTable(input, "doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
+      Dedup.simhashPairs(input, "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -702,12 +734,19 @@ object Demos {
         .orderBy("id_a")
     }),
 
-    // brute-force cosine top-k (the exact ANN baseline)
+    // brute-force cosine top-k (the exact ANN baseline). DuckDB-checked
+    // (r5): the oracle recomputes cosine top-k with its own list functions.
+    // Both sides work in DOUBLE (the float32 parquet column is upcast
+    // before any arithmetic) and round the reported score to 6 decimals,
+    // so engine-vs-oracle differences are confined to summation-order ulps
+    // (~1e-15) — far inside the rounding grid.
     "embed_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
       Similarity.bruteTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -807,6 +846,41 @@ object Demos {
     "frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.synthMedia(s, dir), k = 4)
         .orderBy("media_id", "frame_idx")))
+
+  /** The link_rank oracle: 10 power iterations unrolled as chained CTEs
+    * over the host edges derived from the outlinks fixture. Mirrors
+    * [[graft.datapipe.LinkRank.hostRank]] exactly: self-edges dropped,
+    * edge multiplicity kept, n = |distinct hosts|, rank₀ = 1/n, rankₖ =
+    * (1-d)/n + d·dangling/n + d·Σ(rank/out_deg over in-edges), d = 0.85. */
+  private def linkRankOracleSql: String = {
+    val fx = "/tmp/graft-verify-fixtures/oracleoutlinks-sf0.01/*.parquet"
+    val iters = (1 to 10).map { i =>
+      val p = s"r${i - 1}"
+      // MATERIALIZED: DuckDB inlines plain CTEs, and each iteration
+      // references its predecessor 3× — inlining would re-evaluate the
+      // whole chain exponentially (3^10 plans); materialization keeps the
+      // unrolled recursion linear
+      s"r$i AS MATERIALIZED (SELECT d.host, ((1.0 - 0.85)/(SELECT n FROM nv) " +
+        s"+ 0.85 * (SELECT COALESCE(SUM(rank), 0) FROM $p WHERE out_deg = 0)" +
+        s"/(SELECT n FROM nv) " +
+        s"+ 0.85 * COALESCE(c.in_sum, 0)) AS rank, d.out_deg " +
+        s"FROM deg d LEFT JOIN (SELECT eo.dst AS host, " +
+        s"SUM(r.rank / r.out_deg) AS in_sum FROM eo JOIN $p r " +
+        s"ON eo.src = r.host WHERE r.out_deg > 0 GROUP BY 1) c " +
+        s"ON d.host = c.host)"
+    }.mkString(", ")
+    s"WITH eo AS MATERIALIZED (SELECT split_part(url, '/', 3) AS src, " +
+      s"split_part(outlink, '/', 3) AS dst FROM read_parquet('$fx') " +
+      "WHERE split_part(url, '/', 3) <> split_part(outlink, '/', 3)), " +
+      "verts AS (SELECT src AS host FROM eo UNION SELECT dst FROM eo), " +
+      "nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts), " +
+      "odeg AS (SELECT src AS host, COUNT(*) AS d FROM eo GROUP BY 1), " +
+      "deg AS MATERIALIZED (SELECT v.host, COALESCE(o.d, 0) AS out_deg FROM verts v " +
+      "LEFT JOIN odeg o ON v.host = o.host), " +
+      "r0 AS MATERIALIZED (SELECT host, 1.0/(SELECT n FROM nv) AS rank, out_deg FROM deg), " +
+      iters +
+      " SELECT host, round(rank, 9) AS rank FROM r10 ORDER BY host"
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracle SQL — one entry per SQL-expressible key above. Columns
@@ -1085,5 +1159,62 @@ object Demos {
         "SELECT id_a, id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard " +
         "FROM pr JOIN sh a ON a.doc_id = pr.id_a JOIN sh b ON b.doc_id = pr.id_b " +
-        "ORDER BY id_a"))
+        "ORDER BY id_a"),
+    // SimHash pairing re-derived from the materialized fingerprint table:
+    // recall within hamming 3 is exact by pigeonhole, so the banded join
+    // must equal this all-pairs bit_count(xor) (reps = min id per
+    // fingerprint, exact-dup members as hamming-0 star edges — the same
+    // collapse the engine applies).
+    "dedup_simhash" ->
+      ("WITH sh AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/simhashtable-sf0.01/*.parquet')), " +
+        "g AS (SELECT id, simhash, min(id) OVER (PARTITION BY simhash) AS rep FROM sh), " +
+        "reps AS (SELECT id, simhash FROM g WHERE id = rep) " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming " +
+        "FROM reps a JOIN reps b ON a.id < b.id " +
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 " +
+        "UNION ALL SELECT rep AS id_a, id AS id_b, CAST(0 AS INT) AS hamming " +
+        "FROM g WHERE id <> rep " +
+        "ORDER BY id_a, id_b"),
+    // MinHash-LSH pairing re-derived from the materialized signatures:
+    // all-pairs over the 16 four-hash band slices (band-hash equality in
+    // the engine ⟺ slice equality here) + exact Jaccard over the shingle
+    // sets, + the exact-dup stars at 1.0. Valid while no bucket exceeds
+    // the hot cap (10,000 ≫ any bucket at sf0.01), where banded ≡ all-pairs.
+    "dedup_minhash" ->
+      ("WITH reps AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/minhashstate-sf0.01/reps/*.parquet')), " +
+        "banded AS (SELECT id, j AS band_idx, sig[j*4+1:j*4+4] AS band " +
+        "FROM reps, generate_series(0, 15) t(j)), " +
+        "cand AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM banded a JOIN banded b " +
+        "ON a.band_idx = b.band_idx AND a.band = b.band AND a.id < b.id) " +
+        "SELECT ia AS id_a, ib AS id_b, " +
+        "CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(x.shingles, y.shingles))) AS DOUBLE) AS jaccard " +
+        "FROM cand JOIN reps x ON x.id = ia JOIN reps y ON y.id = ib " +
+        "WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) / " +
+        "CAST(len(list_distinct(list_concat(x.shingles, y.shingles))) AS DOUBLE) >= 0.5 " +
+        "UNION ALL SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS jaccard FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/minhashstate-sf0.01/stars/*.parquet') " +
+        "ORDER BY id_a, id_b"),
+    // exact cosine top-k recomputed with DuckDB's own list math; both
+    // sides upcast float32 → double before arithmetic and round the score
+    // to 6 decimals (summation-order ulps ~1e-15 sit far inside the grid)
+    "embed_cosine_topk" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv " +
+        "FROM embeddings WHERE vec_id < 5), " +
+        "scored AS (SELECT qid, vec_id, list_cosine_similarity(v, qv) AS cos " +
+        "FROM e CROSS JOIN q WHERE vec_id <> qid), " +
+        "ranked AS (SELECT qid AS query_id, vec_id AS neighbor_id, " +
+        "round(cos, 6) AS cosine, CAST(row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // PageRank re-derived by unrolling the same 10 power iterations in SQL
+    // over the oracle outlinks fixture (byte-checked by extract_outlinks):
+    // same vertex set, self-edge drop, edge multiplicity, damping 0.85,
+    // uniform dangling-mass fold; rounded to 9 decimals on both sides
+    "link_rank" -> linkRankOracleSql)
 }

@@ -45,7 +45,23 @@ object Multimodal {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), substring(col("text"), 1, 512).as("text"))
       .as[(Long, String)]
-    docs.map { case (id, text) =>
+    docs.map { case (id, text) => synthMediaRow(id, text) }.toDF()
+  }
+
+  /** First 512 Unicode codepoints — the same truncation Spark's
+    * `substring(text, 1, 512)` applies in [[synthMedia]], for a sequential
+    * replay that starts from the raw document text. */
+  def truncate512(text: String): String =
+    text.substring(0,
+      text.offsetByCodePoints(0, math.min(512, text.codePointCount(0, text.length))))
+
+  /** The per-document media synthesis kernel — one implementation, shared
+    * by the distributed [[synthMedia]] map and the sequential oracle replay
+    * that materializes the multimodal expected fixtures (Demos), so the
+    * driver's DuckDB compare checks the distributed execution against a
+    * single-threaded one. `text` must already be 512-codepoint-truncated
+    * ([[truncate512]]). */
+  def synthMediaRow(id: Long, text: String): MediaRow = {
       val h = Hash64.string(s"media-$id")
       val kind = Hash64.pmod(h, 3L) match {
         case 0L => "image"
@@ -98,7 +114,6 @@ object Multimodal {
               "application/octet-stream")
           }
       }
-    }.toDF()
   }
 
   /** STUB decoder: a real implementation would decode the image/audio bytes
@@ -195,31 +210,35 @@ object Multimodal {
     * — so a heavyweight decoder can hold codec/model state per batch. BMP
     * and WAV payloads are decoded for real ([[MediaCodec]]); anything else
     * takes the deterministic stub path tagged `opaque`. */
+  /** The per-row decode/feature kernel — shared by the distributed
+    * [[extractFeatures]] and the sequential oracle replay (see
+    * [[synthMediaRow]]). */
+  def featuresOf(r: MediaRow, dim: Int = 16): MediaFeatures =
+    MediaCodec.sniff(r.bytes) match {
+      case MediaCodec.IsBmp =>
+        val img = MediaCodec.decodeBmp(r.bytes)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          bmpFeatures(img, dim), "bmp", img.width, img.height, -1L)
+      case MediaCodec.IsPng =>
+        val png = MediaCodec.decodePng(r.bytes)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          pngFeatures(png, dim), "png", png.width, png.height, -1L)
+      case MediaCodec.IsWav =>
+        val wav = MediaCodec.decodeWav(r.bytes)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          wavFeatures(wav, dim), "wav", -1, -1, wav.samples.length.toLong)
+      case MediaCodec.Opaque =>
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          decodeStub(r.bytes, dim), "opaque", -1, -1, -1L)
+    }
+
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
       batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (decoder/model init)
-        batch.iterator.map { r =>
-          MediaCodec.sniff(r.bytes) match {
-            case MediaCodec.IsBmp =>
-              val img = MediaCodec.decodeBmp(r.bytes)
-              MediaFeatures(r.media_id, r.kind, r.bytes.length,
-                bmpFeatures(img, dim), "bmp", img.width, img.height, -1L)
-            case MediaCodec.IsPng =>
-              val png = MediaCodec.decodePng(r.bytes)
-              MediaFeatures(r.media_id, r.kind, r.bytes.length,
-                pngFeatures(png, dim), "png", png.width, png.height, -1L)
-            case MediaCodec.IsWav =>
-              val wav = MediaCodec.decodeWav(r.bytes)
-              MediaFeatures(r.media_id, r.kind, r.bytes.length,
-                wavFeatures(wav, dim), "wav", -1, -1, wav.samples.length.toLong)
-            case MediaCodec.Opaque =>
-              MediaFeatures(r.media_id, r.kind, r.bytes.length,
-                decodeStub(r.bytes, dim), "opaque", -1, -1, -1L)
-          }
-        }
+        batch.iterator.map(featuresOf(_, dim))
       }
     }
   }
@@ -240,6 +259,29 @@ object Multimodal {
     * fallback, tagged `opaque`. Batched per-partition kernel — the same
     * Arrow-UDF execution shape as [[extractFeatures]]; a distributed
     * per-row map, no shuffle. */
+  /** The per-row frame-sampling kernel — shared by the distributed
+    * [[frameSample]] and the sequential oracle replay (see
+    * [[synthMediaRow]]). */
+  def framesOf(id: Long, bytes: Array[Byte], k: Int = 4): Seq[FrameRow] =
+    if (MediaCodec.isApng(bytes)) {
+      val anim = MediaCodec.decodeApng(bytes)
+      val n = anim.frames.length
+      // evenly spaced over the real frame sequence; distinct keeps
+      // short animations (n < k) from duplicating frames
+      (0 until k).map(j => j * n / k).distinct.map { f =>
+        FrameRow(id, f, Hash64.bytes(anim.frames(f)), "apng", n)
+      }
+    } else {
+      // fallback: k deterministic 64-byte windows into the payload
+      val len = math.max(1, bytes.length)
+      (0 until k).map { j =>
+        val off = Hash64.pmod(Hash64.string(s"$id$j"), len.toLong).toInt
+        val win = java.util.Arrays.copyOfRange(bytes, off,
+          math.min(bytes.length, off + 64))
+        FrameRow(id, j, Hash64.bytes(win), "opaque", -1)
+      }
+    }
+
   def frameSample(media: DataFrame, k: Int = 4, batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -247,26 +289,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch setup would go here (decoder init)
-          batch.iterator.flatMap { case (id, bytes) =>
-            if (MediaCodec.isApng(bytes)) {
-              val anim = MediaCodec.decodeApng(bytes)
-              val n = anim.frames.length
-              // evenly spaced over the real frame sequence; distinct keeps
-              // short animations (n < k) from duplicating frames
-              (0 until k).map(j => j * n / k).distinct.map { f =>
-                FrameRow(id, f, Hash64.bytes(anim.frames(f)), "apng", n)
-              }
-            } else {
-              // fallback: k deterministic 64-byte windows into the payload
-              val len = math.max(1, bytes.length)
-              (0 until k).map { j =>
-                val off = Hash64.pmod(Hash64.string(s"$id$j"), len.toLong).toInt
-                val win = java.util.Arrays.copyOfRange(bytes, off,
-                  math.min(bytes.length, off + 64))
-                FrameRow(id, j, Hash64.bytes(win), "opaque", -1)
-              }
-            }
-          }
+          batch.iterator.flatMap { case (id, bytes) => framesOf(id, bytes, k) }
         }
       }.toDF()
   }

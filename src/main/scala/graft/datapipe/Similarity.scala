@@ -86,17 +86,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates share one of the query's probe buckets,
-    * then exact cosine re-ranks. `multiProbe = p` additionally probes every
-    * bucket within Hamming distance p of the query's (p ∈ {0, 1, 2}): the
-    * standard recall lever that does NOT widen the corpus-side buckets —
-    * only the (small, broadcast) query side fans out, ×(1 + nPlanes) at
-    * p = 1 and ×(1 + nPlanes + C(nPlanes, 2)) at p = 2. */
-  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64, multiProbe: Int = 1): DataFrame = {
+  /** Corpus side of the LSH index: the input plus a `bucket` column.
+    * Public so a verification harness can materialize the bucketed corpus
+    * and re-derive the candidate join + exact re-rank INDEPENDENTLY (the
+    * `embed_ann_lsh` DuckDB oracle: given the bucket/probe state, the
+    * pairing and ranking are plain relational algebra). */
+  def lshCorpus(corpus: DataFrame, vecCol: String,
+      nPlanes: Int, dim: Int): DataFrame =
+    corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+
+  /** Query side of the LSH index: one row per (query, probe bucket) —
+    * the query's own bucket plus every bucket within Hamming `multiProbe`
+    * of it. Public for the same oracle-materialization reason as
+    * [[lshCorpus]]. */
+  def lshProbes(queries: DataFrame, qvecCol: String,
+      nPlanes: Int, dim: Int, multiProbe: Int): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= 2, "multiProbe ∈ {0, 1, 2}")
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val qb0 = queries.withColumn("bucket0", lshBucket(col(qvecCol), nPlanes, dim))
     val probes: Seq[Column] = (col("bucket0") +:
       (if (multiProbe >= 1)
@@ -106,7 +111,20 @@ object Similarity {
         for (i <- 0 until nPlanes; j <- (i + 1) until nPlanes)
           yield col("bucket0").bitwiseXOR(lit((1 << i) | (1 << j)))
       else Nil)
-    val qb = qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
+    qb0.withColumn("bucket", explode(array(probes: _*))).drop("bucket0")
+  }
+
+  /** Approximate top-k: candidates share one of the query's probe buckets,
+    * then exact cosine re-ranks. `multiProbe = p` additionally probes every
+    * bucket within Hamming distance p of the query's (p ∈ {0, 1, 2}): the
+    * standard recall lever that does NOT widen the corpus-side buckets —
+    * only the (small, broadcast) query side fans out, ×(1 + nPlanes) at
+    * p = 1 and ×(1 + nPlanes + C(nPlanes, 2)) at p = 2. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, multiProbe: Int = 1): DataFrame = {
+    val cb = lshCorpus(corpus, vecCol, nPlanes, dim)
+    val qb = lshProbes(queries, qvecCol, nPlanes, dim, multiProbe)
     val candidates = cb.join(broadcast(qb), Seq("bucket"))
       // a candidate can arrive via several probes — dedup before ranking
       .dropDuplicates(qidCol, idCol)
@@ -188,6 +206,29 @@ object Similarity {
     cents
   }
 
+  /** Corpus side of the IVF index: the input plus its `ivf_list`
+    * assignment. Public for oracle materialization (see [[lshCorpus]]). */
+  def ivfCorpus(corpus: DataFrame, vecCol: String,
+      cents: Seq[Seq[Double]]): DataFrame =
+    corpus.withColumn("ivf_list", ivfList(col(vecCol), cents))
+
+  /** Query side of the IVF index: one row per (query, probed list) — the
+    * query's nProbe nearest lists by centroid dot, ties by list index.
+    * Public for oracle materialization (see [[lshCorpus]]). */
+  def ivfProbes(queries: DataFrame, qvecCol: String,
+      cents: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    require(nProbe >= 1)
+    val nList = cents.length
+    // rank the centroid dots on the query side: struct sort on (-dot, i)
+    val dots = centroidDots(col(qvecCol), cents)
+    val ranked = array_sort(zip_with(dots, sequence(lit(0), lit(nList - 1)),
+      (d, i) => struct((-d).as("nd"), i.as("i"))))
+    queries
+      .withColumn("probe", explode(slice(ranked, 1, math.min(nProbe, nList))))
+      .withColumn("ivf_list", col("probe.i"))
+      .drop("probe")
+  }
+
   /** IVF top-k: one corpus pass assigns each vector to its inverted list,
     * the (small, broadcast) query side probes its nProbe nearest lists, and
     * exact cosine re-ranks the candidates. Lists are disjoint, so no
@@ -195,20 +236,30 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
       cents: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
-    require(nProbe >= 1)
-    val nList = cents.length
-    val cb = corpus.withColumn("ivf_list", ivfList(col(vecCol), cents))
-    // rank the centroid dots on the query side: struct sort on (-dot, i)
-    val dots = centroidDots(col(qvecCol), cents)
-    val ranked = array_sort(zip_with(dots, sequence(lit(0), lit(nList - 1)),
-      (d, i) => struct((-d).as("nd"), i.as("i"))))
-    val qb = queries
-      .withColumn("probe", explode(slice(ranked, 1, math.min(nProbe, nList))))
-      .withColumn("ivf_list", col("probe.i"))
-      .drop("probe")
+    val cb = ivfCorpus(corpus, vecCol, cents)
+    val qb = ivfProbes(queries, qvecCol, cents, nProbe)
     // lists are disjoint per query, so no candidate dedup is needed
     rerankTopK(cb.join(broadcast(qb), Seq("ivf_list")),
       idCol, vecCol, qidCol, qvecCol, k)
+  }
+
+  /** The (bucket, sub_bucket) blocking state [[embeddingNearDupPairs]]
+    * self-joins on: level-1 LSH bucket for every row, plus an INDEPENDENT
+    * extra-plane sub-bucket for rows in buckets wider than `maxBucket`
+    * (0 in cold buckets). Public so a verification harness can materialize
+    * it and re-derive the pairing independently — given the blocking
+    * state, the within-block self-join + cosine threshold is plain
+    * relational algebra (the `embed_neardup` DuckDB oracle). */
+  def nearDupBuckets(corpus: DataFrame, vecCol: String,
+      nPlanes: Int, dim: Int, maxBucket: Long, extraPlanes: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val sizes = cb.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    cb.join(broadcast(sizes), Seq("bucket")) // ≤ 2^nPlanes rows
+      .withColumn("sub_bucket",
+        when(col("bucket_n") > maxBucket,
+          lshBucket(col(vecCol), extraPlanes, dim, seedOffset = nPlanes))
+          .otherwise(lit(0)))
+      .drop("bucket_n")
   }
 
   /** Embedding near-duplicate pairs: same LSH bucket AND cosine ≥ threshold.
@@ -222,14 +273,7 @@ object Similarity {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nPlanes: Int = 8, dim: Int = 64,
       maxBucket: Long = 10000L, extraPlanes: Int = 4): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
-    val sizes = cb.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-    val cb2 = cb.join(broadcast(sizes), Seq("bucket")) // ≤ 2^nPlanes rows
-      .withColumn("sub_bucket",
-        when(col("bucket_n") > maxBucket,
-          lshBucket(col(vecCol), extraPlanes, dim, seedOffset = nPlanes))
-          .otherwise(lit(0)))
-      .drop("bucket_n")
+    val cb2 = nearDupBuckets(corpus, vecCol, nPlanes, dim, maxBucket, extraPlanes)
     val a = cb2.select(col("bucket"), col("sub_bucket"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = cb2.select(col("bucket"), col("sub_bucket"),

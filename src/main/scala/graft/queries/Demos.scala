@@ -79,6 +79,7 @@ object Demos {
     ensureCrawlFixtures(s, dir)
     ensureFixture("oraclerecrawl", dir)(p => writeCrawlLogFixture(s, dir, recrawlCfg, p))
     ensureFixture("oraclehostrank", dir)(p => writeCrawlLogFixture(s, dir, hostrankCfg, p))
+    ensureMediaFixtures(s, dir)
     bucketedPages(s, dir) // the one-time CorpusStore write is fixture setup,
     ()                    // not what the corpus_bucketed demo measures
   }
@@ -127,6 +128,30 @@ object Demos {
         .flatMap(pg => HtmlCodec.extractOutlinks(pg.html).map(o => (pg.url, o)))
         .toDF("url", "outlink")
         .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+
+  /** Sequential multimodal replay (r5): the same synth/decode/frame-sample
+    * kernels ([[Multimodal.synthMediaRow]]/[[Multimodal.featuresOf]]/
+    * [[Multimodal.framesOf]]) run single-threaded over the collected
+    * documents — the CrawlOracle execution model — and the results are
+    * materialized as expected fixtures, so the driver's DuckDB compare
+    * checks the distributed mapPartitions execution against a sequential
+    * one (the extract_text "one implementation, two executions" channel). */
+  private def ensureMediaFixtures(s: SparkSession, dir: String): Unit =
+    ensureFixture("oraclemedia", dir) { p =>
+      import s.implicits._
+      val rows = oracleDocs(s, dir).sortBy(_.docId)
+        .map(d => Multimodal.synthMediaRow(d.docId, Multimodal.truncate512(d.text)))
+      val feats = rows.map(r => Multimodal.featuresOf(r, 16))
+      feats.map(f => (f.media_id, f.codec, f.decoded_w, f.decoded_h, f.n_samples))
+        .toDF("media_id", "codec", "decoded_w", "decoded_h", "n_samples")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/decode")
+      feats.map(f => (f.media_id, f.kind, f.n_bytes.toLong, f.feature.length.toLong))
+        .toDF("media_id", "kind", "n_bytes", "feature_dim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/features")
+      rows.flatMap(r => Multimodal.framesOf(r.media_id, r.bytes, 4))
+        .toDF()
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/frames")
     }
 
   /** documents rows collected once per (session, sf) — the single-threaded
@@ -597,7 +622,12 @@ object Demos {
 
     // F2 split at scale: SHARDED bloom prefilter, shipped to tasks via
     // SparkContext.broadcast (the engine's seen-sketch path — no filter
-    // bytes in the expression tree / task binaries)
+    // bytes in the expression tree / task binaries). DuckDB-checked (r5)
+    // via the sketch contracts, the bloom_build/approx_distinct model:
+    // no-false-negative (every inserted seed must probe true → 0 misses)
+    // and bounded false positives (fpp sized at 0.03; the 3% bound holds
+    // with huge margin at this load factor, and the probe outcome is a
+    // deterministic function of the hash state, not a random draw).
     "bloom_prefilter" -> ((s, dir) => {
       val cfg = CrawlConfig()
       val seeds = PagesSynth.seeds(s, dir, cfg).toDF()
@@ -605,10 +635,17 @@ object Demos {
         .agg(Sketches.shardedBloomAgg(col("url_hash"), cfg.bloomShards, 1 << 14, 0.03))
         .head().getAs[Array[Byte]](0)
       val bc = s.sparkContext.broadcast(Sketches.shardedFrom(blob))
+      val nSeeds = seeds.count()
       pages(s, dir).select(xxhash64(col("url")).as("url_hash"))
+        .join(seeds.select(col("url_hash"), lit(true).as("is_seed")),
+          Seq("url_hash"), "left")
         .withColumn("maybe_seen", bloom_sharded_might_contain(bc, col("url_hash")))
-        .agg(sum(when(col("maybe_seen"), 1L).otherwise(0L)).as("n_maybe_seen"),
-          sum(when(!col("maybe_seen"), 1L).otherwise(0L)).as("n_definitely_new"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("is_seed") && !col("maybe_seen"), 1L).otherwise(0L))
+            .as("n_seed_misses"),
+          ((sum(when(col("maybe_seen"), 1L).otherwise(0L)) - lit(nSeeds))
+            .cast("double") <= count(lit(1)).cast("double") * 0.03)
+            .as("fp_within_bound"))
     }),
 
     // the end-to-end slices — ALL reading the one shared 3-round catalog,
@@ -752,14 +789,28 @@ object Demos {
 
     // LSH-bucketed ANN (the scale path: planes scale with the corpus so
     // bucket width stays ~constant; multi-probe recovers recall on the
-    // query side only; recall vs brute checked in SimilaritySpec)
+    // query side only; recall vs brute checked in SimilaritySpec).
+    // DuckDB-checked (r5): the query materializes the LSH state (bucketed
+    // corpus + query probe buckets — hash state, the minhashState trust
+    // model); the oracle re-derives the candidate join, dedup, exact
+    // cosine, ranking and top-k independently. Both sides double + round 6.
     "embed_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
       val nPlanes = Similarity.planesFor(e.count(), targetBucket = 64)
+      ensureFixture("annlsh", dir) { p =>
+        Similarity.lshCorpus(e, "embedding", nPlanes, 64)
+          .select(col("vec_id"), col("bucket"), col("embedding").as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/corpus")
+        Similarity.lshProbes(q, "qvec", nPlanes, 64, multiProbe = 1)
+          .select(col("query_id_raw").as("query_id"), col("bucket"), col("qvec").as("qv"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/probes")
+      }
       Similarity.lshTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5,
           nPlanes = nPlanes, dim = 64, multiProbe = 1)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
 
@@ -767,26 +818,54 @@ object Demos {
     // k-means quantizer trained on a deterministic sample, one narrow list
     // column on the corpus, query probes its nProbe nearest lists; recall
     // vs brute checked in SimilaritySpec)
+    // DuckDB-checked (r5): same fixture trust model as embed_ann_lsh —
+    // the materialized list assignments + query probes are the index
+    // state; the oracle re-derives the probe join + exact re-rank.
     "embed_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id_raw"), col("embedding").as("qvec"))
       val cents = Similarity.ivfTrain(e, "vec_id", "embedding",
         nList = Similarity.listsFor(e.count(), targetList = 64))
+      ensureFixture("annivf", dir) { p =>
+        Similarity.ivfCorpus(e, "embedding", cents)
+          .select(col("vec_id"), col("ivf_list"), col("embedding").as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/corpus")
+        Similarity.ivfProbes(q, "qvec", cents, nProbe = 3)
+          .select(col("query_id_raw").as("query_id"), col("ivf_list"), col("qvec").as("qv"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$p/probes")
+      }
       Similarity.ivfTopK(e, "vec_id", "embedding", q, "query_id_raw", "qvec", 5,
           cents, nProbe = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("query_id", "rank")
     }),
 
     // embedding near-duplicate pairs (corpus ∪ exact copies); oversized
-    // buckets sub-split with an independent plane family (bounded self-join)
+    // buckets sub-split with an independent plane family (bounded
+    // self-join). DuckDB-checked (r5): the materialized (bucket,
+    // sub_bucket) blocking state is the hash state; the oracle re-derives
+    // the within-block self-join + cosine threshold independently. The
+    // 0.999 boundary is FP-safe on this fixture: pair cosines cluster at
+    // ~1.0 (exact copies) and far below (random vectors) — no pair sits
+    // within ulps of the threshold on either engine.
     "embed_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       val dup = e.withColumn("vec_id", col("vec_id") + 100000)
       val all = e.unionByName(dup)
       val nPlanes = Similarity.planesFor(e.count() * 2, targetBucket = 64)
+      ensureFixture("neardupbuckets", dir) { p =>
+        Similarity.nearDupBuckets(all, "embedding", nPlanes, 64,
+            maxBucket = 200L, extraPlanes = 4)
+          .select(col("vec_id"), col("bucket"), col("sub_bucket"),
+            col("embedding").as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
       Similarity.embeddingNearDupPairs(all, "vec_id", "embedding",
           threshold = 0.999, nPlanes = nPlanes, dim = 64, maxBucket = 200L)
+        .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("id_a", "id_b")
     }),
 
@@ -819,9 +898,12 @@ object Demos {
         .orderBy("doc_id")
     }),
 
-    // multimodal: binary column + batched feature extraction (decode STUB)
+    // multimodal: binary column + batched feature extraction. DuckDB-
+    // checked (r5): distributed mapPartitions ≡ the sequential replay
+    // fixture (ensureMediaFixtures — the extract_text trust model).
     "multimodal_features" -> ((s, dir) => {
       import s.implicits._
+      ensureMediaFixtures(s, dir)
       val media = Multimodal.synthMedia(s, dir).as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
@@ -829,11 +911,12 @@ object Demos {
         .orderBy("media_id")
     }),
 
-    // multimodal: REAL container decode (BMP pixels / WAV samples via
+    // multimodal: REAL container decode (BMP/PNG pixels / WAV samples via
     // MediaCodec; opaque payloads → declared stub) — decoded metadata
-    // surfaced per media row
+    // surfaced per media row; same sequential-replay DuckDB channel
     "multimodal_decode" -> ((s, dir) => {
       import s.implicits._
+      ensureMediaFixtures(s, dir)
       val media = Multimodal.synthMedia(s, dir).as[Multimodal.MediaRow]
       Multimodal.extractFeatures(media, dim = 16).toDF()
         .select(col("media_id"), col("codec"), col("decoded_w"), col("decoded_h"),
@@ -842,10 +925,13 @@ object Demos {
     }),
 
     // multimodal: frame sampling — REAL animated-PNG decode where the
-    // payload is APNG, deterministic byte-window fallback otherwise
-    "frame_sample" -> ((s, dir) =>
+    // payload is APNG, deterministic byte-window fallback otherwise;
+    // same sequential-replay DuckDB channel
+    "frame_sample" -> ((s, dir) => {
+      ensureMediaFixtures(s, dir)
       Multimodal.frameSample(Multimodal.synthMedia(s, dir), k = 4)
-        .orderBy("media_id", "frame_idx")))
+        .orderBy("media_id", "frame_idx")
+    }))
 
   /** The link_rank oracle: 10 power iterations unrolled as chained CTEs
     * over the host edges derived from the outlinks fixture. Mirrors
@@ -1080,6 +1166,24 @@ object Demos {
     "bloom_build" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) " +
         "AS n_contained FROM documents"),
+    // sketch contracts: every inserted seed probes true (0 misses) and the
+    // false-positive count stays within the sized fpp bound (see the query)
+    "bloom_prefilter" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_urls, CAST(0 AS BIGINT) " +
+        "AS n_seed_misses, true AS fp_within_bound FROM documents"),
+    // multimodal: distributed execution vs the sequential-replay fixtures
+    "multimodal_decode" ->
+      ("SELECT media_id, codec, decoded_w, decoded_h, n_samples FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oraclemedia-sf0.01/decode/*.parquet') " +
+        "ORDER BY media_id"),
+    "multimodal_features" ->
+      ("SELECT media_id, kind, n_bytes, feature_dim FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oraclemedia-sf0.01/features/*.parquet') " +
+        "ORDER BY media_id"),
+    "frame_sample" ->
+      ("SELECT media_id, frame_idx, frame_hash, codec, n_frames FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/oraclemedia-sf0.01/frames/*.parquet') " +
+        "ORDER BY media_id, frame_idx"),
     "treeagg_bloom" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_contained FROM documents",
     "cuckoo_build" ->
@@ -1212,6 +1316,52 @@ object Demos {
         "(PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored) " +
         "SELECT query_id, neighbor_id, cosine, rank FROM ranked " +
         "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // ANN re-derived from the materialized index state (the minhashState
+    // trust model: buckets/probes are hash state; candidate join, dedup,
+    // exact cosine, ranking and top-k are re-run independently in DuckDB)
+    "embed_ann_lsh" ->
+      ("WITH c AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/annlsh-sf0.01/corpus/*.parquet')), " +
+        "p AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/annlsh-sf0.01/probes/*.parquet')), " +
+        "q AS (SELECT DISTINCT query_id, qv FROM p), " +
+        "cand AS (SELECT DISTINCT p.query_id, c.vec_id FROM c JOIN p USING (bucket) " +
+        "WHERE c.vec_id <> p.query_id), " +
+        "scored AS (SELECT cand.query_id, cand.vec_id, " +
+        "list_cosine_similarity(c.v, q.qv) AS cos FROM cand " +
+        "JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id), " +
+        "ranked AS (SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+        "AS INT) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    "embed_ann_ivf" ->
+      ("WITH c AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/annivf-sf0.01/corpus/*.parquet')), " +
+        "p AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/annivf-sf0.01/probes/*.parquet')), " +
+        "q AS (SELECT DISTINCT query_id, qv FROM p), " +
+        "cand AS (SELECT DISTINCT p.query_id, c.vec_id FROM c JOIN p USING (ivf_list) " +
+        "WHERE c.vec_id <> p.query_id), " +
+        "scored AS (SELECT cand.query_id, cand.vec_id, " +
+        "list_cosine_similarity(c.v, q.qv) AS cos FROM cand " +
+        "JOIN c ON c.vec_id = cand.vec_id JOIN q ON q.query_id = cand.query_id), " +
+        "ranked AS (SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cosine, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) " +
+        "AS INT) AS rank FROM scored) " +
+        "SELECT query_id, neighbor_id, cosine, rank FROM ranked " +
+        "WHERE rank <= 5 ORDER BY query_id, rank"),
+    // near-dup pairing re-derived from the materialized (bucket, sub_bucket)
+    // blocking state: within-block self-join + cosine threshold in DuckDB
+    "embed_neardup" ->
+      ("WITH b AS (SELECT * FROM " +
+        "read_parquet('/tmp/graft-verify-fixtures/neardupbuckets-sf0.01/*.parquet')) " +
+        "SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+        "round(list_cosine_similarity(a.v, c.v), 6) AS cosine " +
+        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.sub_bucket = c.sub_bucket " +
+        "AND a.vec_id < c.vec_id " +
+        "WHERE list_cosine_similarity(a.v, c.v) >= 0.999 " +
+        "ORDER BY id_a, id_b"),
     // PageRank re-derived by unrolling the same 10 power iterations in SQL
     // over the oracle outlinks fixture (byte-checked by extract_outlinks):
     // same vertex set, self-edge drop, edge multiplicity, damping 0.85,

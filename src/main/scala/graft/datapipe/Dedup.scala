@@ -469,6 +469,54 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("cluster_id"))
   }
 
+  /** Host-level mirror detection (Bharat/Broder-style): hosts serving
+    * near-identical document SETS — mirrors, CDNs, scraped copies — which a
+    * crawler wants to fold into one crawl target instead of fetching twice.
+    * Per host, take the distinct set of per-document fingerprints
+    * (`fpExpr(text)`; default xxhash64 of the full text — callers pass a
+    * shingle/prefix fingerprint for near-dup resemblance); emit every host
+    * pair sharing ≥ `minShared` fingerprints with the set-resemblance
+    * estimate `jaccard = shared / (|A| + |B| - shared)`.
+    *
+    * Scale posture (10^6 hosts × 10^10 docs): the pairing joins host SETS
+    * on the fingerprint — never documents on documents — and fingerprints
+    * carried by more than `maxHostsPerFp` hosts are excluded as
+    * non-discriminative BEFORE the self-join (boilerplate/empty-page
+    * fingerprints shared by every host would otherwise make one bucket
+    * quadratic in the host count — the same hot-bucket hazard as
+    * [[minhashPairs]], killed here by frequency, the standard
+    * stopword-fingerprint move: a fingerprint on >64 hosts identifies no
+    * mirror pair anyway). After the filter every fingerprint group is
+    * ≤ maxHostsPerFp wide, so candidate volume is O(fps · maxHostsPerFp²)
+    * with tiny constants, and the per-pair aggregation shuffles on the
+    * (host_a, host_b) key. Host set sizes `n_a`/`n_b` count ALL distinct
+    * fingerprints (pre-filter), so excluded common fingerprints only
+    * lower the estimate — they never manufacture similarity. */
+  def mirrorHosts(df: DataFrame, hostCol: String, textCol: String,
+      fpExpr: Column => Column = t => xxhash64(t),
+      minShared: Long = 1L, maxHostsPerFp: Int = 64): DataFrame = {
+    val fp = df.select(col(hostCol).as("host"), fpExpr(col(textCol)).as("fp"))
+      .distinct()
+    val sizes = fp.groupBy("host").agg(count(lit(1)).as("n"))
+    val discriminative = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("__nh"))
+        .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerFp)
+        .select("fp"),
+      Seq("fp"))
+    val pairs = discriminative.as("a")
+      .join(discriminative.as("b"), Seq("fp"))
+      .filter(col("a.host") < col("b.host"))
+      .groupBy(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .select("host_a", "host_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard for a given candidate pair set (id_a, id_b) —
     * the verification kernel alone, reusable outside LSH. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,

@@ -166,11 +166,12 @@ object Demos {
 
   /** CrawlOracle runs cached per (session, sf, policy knobs). */
   private val oracleCrawlCache = scala.collection.concurrent.TrieMap[
-    (SparkSession, String, Int, Int, Int), graft.spider.CrawlOracle.Result]()
+    (SparkSession, String, Int, Int, Int, Int), graft.spider.CrawlOracle.Result]()
   private def oracleCrawlRes(s: SparkSession, dir: String,
       cfg: CrawlConfig): graft.spider.CrawlOracle.Result =
     oracleCrawlCache.getOrElseUpdate(
-      (s, dir, cfg.rounds, cfg.recrawlEvery, cfg.hostRankFromRound), {
+      (s, dir, cfg.rounds, cfg.recrawlEvery, cfg.hostRankFromRound,
+        cfg.maxNewPerHost), {
       val docs = oracleDocs(s, dir)
       graft.spider.CrawlOracle.run(
         graft.spider.CrawlOracle.synthPages(docs),
@@ -235,6 +236,19 @@ object Demos {
     hostrankCache.getOrElseUpdate((s, dir),
       CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, hostrankCfg),
         PagesSynth.robots(s, dir), hostrankCfg, tmpDir("graft-q-hostrank-")))
+
+  /** ONE shared crawl-trap-guard catalog per (session, sfDir): 4 rounds with
+    * per-host admission capped at 3 new urls/round — the cap binds hard on
+    * this corpus (every host discovers far more than 3 links per round), so
+    * the crawl_hostcap demo exercises the capped frontier end to end against
+    * the CrawlOracle replay under the same policy. */
+  private val hostcapCfg = CrawlConfig(rounds = 4, maxNewPerHost = 3)
+  private val hostcapCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), graft.spider.state.CrawlCatalog]()
+  private def hostcapCrawl(s: SparkSession, dir: String): graft.spider.state.CrawlCatalog =
+    hostcapCache.getOrElseUpdate((s, dir),
+      CrawlDriver.run(s, pages(s, dir), PagesSynth.seeds(s, dir, hostcapCfg),
+        PagesSynth.robots(s, dir), hostcapCfg, tmpDir("graft-q-hostcap-")))
 
   /** Near-dup clusters over the documents table via distributed connected
     * components, with two cross-cutting star-edge blocking families — text
@@ -485,6 +499,17 @@ object Demos {
         TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
         .orderBy("doc_id")),
 
+    // host-level mirror detection (Bharat/Broder): sources sharing
+    // document fingerprints, ranked by set resemblance. The demo
+    // fingerprint is the raw 24-char text prefix (SQL-reproducible
+    // byte-for-byte; production default is xxhash64 of the full text —
+    // fixed 8-byte keys); the frequency gate that makes the pairing
+    // survive boilerplate at scale is exercised with maxHostsPerFp=64.
+    "host_mirror" -> ((s, dir) =>
+      Dedup.mirrorHosts(t(s, dir, "documents"), "source", "text",
+        tx => substring(tx, 1, 24))
+        .orderBy("host_a", "host_b")),
+
     // near-dup clustering: distributed connected components over
     // cross-cutting blocking families — see docClusters above.
     "dedup_clusters" -> ((s, dir) =>
@@ -688,6 +713,17 @@ object Demos {
       ensureFixture("oraclehostrank", dir)(p =>
         writeCrawlLogFixture(s, dir, hostrankCfg, p))
       hostrankCrawl(s, dir).readCrawled(hostrankCfg.rounds)
+        .orderBy("round", "host", "rank_in_host")
+    }),
+
+    // Crawl-trap guard: the full crawl log of a per-host-admission-capped
+    // crawl (maxNewPerHost=3 — binding on every host of this corpus, so
+    // the frontier, dequeue order and seen set all differ from the uncapped
+    // run). Oracle: the CrawlOracle replay under the same cap.
+    "crawl_hostcap" -> ((s, dir) => {
+      ensureFixture("oraclehostcap", dir)(p =>
+        writeCrawlLogFixture(s, dir, hostcapCfg, p))
+      hostcapCrawl(s, dir).readCrawled(hostcapCfg.rounds)
         .orderBy("round", "host", "rank_in_host")
     }),
 
@@ -1054,6 +1090,20 @@ object Demos {
       ("SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE " +
         "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) " +
         "AS n_tokens FROM documents ORDER BY doc_id"),
+    // mirror detection re-derived from scratch: same prefix fingerprint,
+    // same 2..64 discriminative-frequency gate, same resemblance estimate
+    "host_mirror" ->
+      ("WITH fp AS (SELECT DISTINCT source AS host, substr(text, 1, 24) AS fp " +
+        "FROM documents), " +
+        "disc AS (SELECT host, fp FROM fp WHERE fp IN " +
+        "(SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 64)), " +
+        "sz AS (SELECT host, count(*) AS n FROM fp GROUP BY host), " +
+        "pr AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared " +
+        "FROM disc a JOIN disc b ON a.fp = b.fp AND a.host < b.host GROUP BY 1, 2) " +
+        "SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard " +
+        "FROM pr JOIN sz sa ON sa.host = pr.host_a " +
+        "JOIN sz sb ON sb.host = pr.host_b ORDER BY host_a, host_b"),
     // connected components re-derived sequentially: same two star-edge
     // families, then a recursive-CTE reachability closure over the
     // symmetrized edges; component id = min reachable vertex.
@@ -1133,6 +1183,11 @@ object Demos {
     "crawl_hostrank" ->
       ("SELECT url, url_hash, host, round, rank_in_host, fetch_ts, text, lang, n_links " +
         "FROM read_parquet('/tmp/graft-verify-fixtures/oraclehostrank-sf0.01/*.parquet') " +
+        "ORDER BY round, host, rank_in_host"),
+    // admission-capped (crawl-trap guard) crawl vs the oracle replay
+    "crawl_hostcap" ->
+      ("SELECT url, url_hash, host, round, rank_in_host, fetch_ts, text, lang, n_links " +
+        "FROM read_parquet('/tmp/graft-verify-fixtures/oraclehostcap-sf0.01/*.parquet') " +
         "ORDER BY round, host, rank_in_host"),
     // manifest counters vs the oracle's counters fixture
     "round_counters" ->

@@ -408,12 +408,30 @@ object CrawlEngine {
         lit(round).as("discovered_round"),
         col("warc_ts"))
 
+      // Crawl-trap guard (cfg.maxNewPerHost): admit at most K new urls per
+      // host per round, ranked by the frontier's own total order — one
+      // row_number window partitioned by host over the ROUND's new entries
+      // (round-sized, never frontier-sized; the host exchange it introduces
+      // is the partitioning the next dequeue wants anyway). Dropped rows
+      // never reach the seen delta or the Bloom aggregate (both read this
+      // frame's checkpoint), so they stay re-discoverable in later rounds.
+      val admitted =
+        if (cfg.maxNewPerHost > 0)
+          newEntries
+            .withColumn("__adm_rn", row_number().over(Window
+              .partitionBy("host")
+              .orderBy(col("priority").desc, col("warc_ts"),
+                col("url_hash"), col("url"))))
+            .filter(col("__adm_rn") <= cfg.maxNewPerHost)
+            .drop("__adm_rn")
+        else newEntries
+
       // Lazy local checkpoint (see hostStateNextP): cached blocks +
       // truncated plan, materialized by whichever consumer runs first (the
       // staged write racing the pipelined next round's first job). The
       // expensive part HERE is the toRdd plan compile — the reason this
       // future exists.
-      val newCkpt = newEntries.localCheckpoint(false)
+      val newCkpt = admitted.localCheckpoint(false)
       if (cfg.verbose) System.err.println(
         s"[round $round] ckpt new compiled @${(System.nanoTime() - t0) / 1e9} (flip=$flip)")
       (cand, bloomBc, flagged, newCkpt, flip)
@@ -549,14 +567,36 @@ object CrawlEngine {
         cfg.bloomShards, perShard, cfg.bloomFpp))
     else Nil)
     val rawStatsF = Future {
-      val s3 = flagged.agg(aggs.head, aggs.tail: _*).head()
-      val candN = s3.getLong(0)
-      val enqueuedN = if (s3.isNullAt(1)) 0L else s3.getLong(1)
-      val bloomDelta =
-        if (cfg.bloomPrefilter && enqueuedN > 0) Some(s3.getAs[Array[Byte]](2)) else None
-      if (cfg.verbose) System.err.println(
-        s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
-      (candN, enqueuedN, bloomDelta)
+      if (cfg.maxNewPerHost > 0) {
+        // Capped admission: enqueuedN and the Bloom delta must cover the
+        // ADMITTED set only (dropped candidates stay unseen — the sketch
+        // keeps its "exactly the seen set" invariant and the counters match
+        // the oracle's). candN still counts every distinct candidate, so
+        // this path pays a second small job over the admitted checkpoint —
+        // only when the feature is on.
+        val candN = flagged.agg(count(lit(1))).head().getLong(0)
+        val admAggs = Seq(count(lit(1))) ++ (if (cfg.bloomPrefilter)
+          Seq(Sketches.shardedBloomAgg(col("url_hash"),
+            cfg.bloomShards, perShard, cfg.bloomFpp))
+        else Nil)
+        val s4 = newCkpt.agg(admAggs.head, admAggs.tail: _*).head()
+        val enqueuedN = s4.getLong(0)
+        val bloomDelta =
+          if (cfg.bloomPrefilter && enqueuedN > 0) Some(s4.getAs[Array[Byte]](1)) else None
+        if (cfg.verbose) System.err.println(
+          s"[round $round] discover done: cand=$candN new=$enqueuedN (capped) " +
+            s"flip=$flip @${(System.nanoTime() - t0) / 1e9}")
+        (candN, enqueuedN, bloomDelta)
+      } else {
+        val s3 = flagged.agg(aggs.head, aggs.tail: _*).head()
+        val candN = s3.getLong(0)
+        val enqueuedN = if (s3.isNullAt(1)) 0L else s3.getLong(1)
+        val bloomDelta =
+          if (cfg.bloomPrefilter && enqueuedN > 0) Some(s3.getAs[Array[Byte]](2)) else None
+        if (cfg.verbose) System.err.println(
+          s"[round $round] discover done: cand=$candN new=$enqueuedN flip=$flip @${(System.nanoTime() - t0) / 1e9}")
+        (candN, enqueuedN, bloomDelta)
+      }
     }
 
     val ckptRdds = Seq(residualCkpt, newCkpt, hostStateNextP)

@@ -176,10 +176,19 @@ object CrawlOracle {
       }
       val candN = roundCandUrls.size.toLong
       val boostOn = cfg.hostRankFromRound > 0 && r >= cfg.hostRankFromRound + 2
-      val fresh = candidates.iterator.map { case (url, (h, host, ts)) =>
+      val freshAll = candidates.iterator.map { case (url, (h, host, ts)) =>
         val b = if (boostOn) hostBoost.getOrElse(host, 0) else 0
         Entry(url, h, host, Corpus.priorityAtRound(r) + b, r, ts)
       }.toVector
+      // crawl-trap guard (cfg.maxNewPerHost): top-K per host under the
+      // frontier total order; dropped candidates are NOT marked seen, so a
+      // later round can re-discover and admit them (the engine's stance)
+      val fresh =
+        if (cfg.maxNewPerHost > 0)
+          freshAll.groupBy(_.host).valuesIterator.flatMap(es =>
+            es.sortBy(e => (-e.priority, e.warcTsMicros, e.urlHash, e.url))
+              .take(cfg.maxNewPerHost)).toVector
+        else freshAll
       fresh.foreach(e => seen += e.urlHash)
       if (cfg.recrawlEvery > 0) fetchedAtRound(r) = roundFetched.result()
       // timed re-crawl: re-admit urls fetched in round r+1-recrawlEvery —

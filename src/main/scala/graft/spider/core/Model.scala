@@ -204,7 +204,22 @@ case class CrawlConfig(
       * hostedges manifests). */
     hostRankFromRound: Int = 0,
     /** Power iterations for the hostRank priority signal. */
-    hostRankIters: Int = 10)
+    hostRankIters: Int = 10,
+    /** Crawl-trap guard: per round, at most this many NEWLY DISCOVERED urls
+      * per host are admitted to the frontier (0 = unlimited). The classic
+      * crawl hazard at 10^10-URL scale is an infinite URL space — calendar
+      * pages, session ids, faceted search — where one host manufactures
+      * unbounded novel links; without a cap the frontier (and the seen set)
+      * grow without bound on garbage while real hosts starve. Admission
+      * keeps the top entries per host under the frontier's own total order
+      * (priority desc, warc_ts, url_hash, url) — one row_number window over
+      * the round's new entries, partitioned by host (the same host
+      * partitioning the dequeue needs). Dropped candidates are NOT marked
+      * seen: they stay re-discoverable, so a later, quieter round can still
+      * admit them — the cap bounds per-round admission, it never blacklists
+      * a url. Counters and the Bloom delta reflect admitted urls only
+      * (enqueued = admitted; the sketch stays exactly the seen set). */
+    maxNewPerHost: Int = 0)
 
 object CrawlConfig {
 

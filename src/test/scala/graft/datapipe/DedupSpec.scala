@@ -192,6 +192,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out((1L, 3L)) == 0.0)
   }
 
+  test("mirrorHosts: mirrored hosts pair with the exact resemblance; a " +
+      "boilerplate fingerprint on every host is frequency-gated out") {
+    import spark.implicits._
+    val body = (0 until 10).map(i => s"unique doc body number $i with content")
+    val rows =
+      body.map(t => ("m1.example.com", t)) ++
+        body.take(8).map(t => ("m2.example.com", t)) ++
+        Seq(("m2.example.com", "m2 own a"), ("m2.example.com", "m2 own b")) ++
+        (0 until 10).map(i => ("u.example.com", s"unrelated body $i")) ++
+        // one text served by ALL hosts — with maxHostsPerFp=2 it is
+        // non-discriminative and must not manufacture any pair
+        Seq("m1", "m2", "u").map(h => (s"$h.example.com", "BOILERPLATE"))
+    val df = rows.toDF("host", "text")
+
+    val gated = Dedup.mirrorHosts(df, "host", "text", maxHostsPerFp = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(gated.toSeq ==
+      Seq(("m1.example.com", "m2.example.com", 8L, 11L, 11L, 8.0 / 14.0)))
+
+    // without the gate the boilerplate links every host to every other
+    val ungated = Dedup.mirrorHosts(df, "host", "text", maxHostsPerFp = 64)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(ungated == Map(
+      ("m1.example.com", "m2.example.com") -> 9L,
+      ("m1.example.com", "u.example.com") -> 1L,
+      ("m2.example.com", "u.example.com") -> 1L))
+  }
+
+  test("mirrorHosts: 10^4 hosts sharing one boilerplate text stay O(hosts) — " +
+      "the frequency gate kills the quadratic bucket before the self-join") {
+    import spark.implicits._
+    // every host serves the same boilerplate plus one unique page: ungated,
+    // the boilerplate fingerprint alone would emit ~5·10^7 candidate pairs
+    val n = 10000
+    val rows = (0 until n).flatMap(i =>
+      Seq((s"h$i.example.com", "SHARED BOILERPLATE FOOTER"),
+        (s"h$i.example.com", s"unique page body $i")))
+    val out = Dedup.mirrorHosts(rows.toDF("host", "text"), "host", "text")
+    assert(out.isEmpty, "frequency gate failed — boilerplate manufactured pairs")
+  }
+
   // -------------------- connected components --------------------
 
   /** Sequential union-find reference for component checking. */

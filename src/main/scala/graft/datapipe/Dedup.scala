@@ -2,6 +2,7 @@ package graft.datapipe
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -156,6 +157,14 @@ object Dedup {
           array_min(transform(col("sh_hashes"),
             h => xxhash64(h.bitwiseXOR(lit(a))))).cast("string")
         }: _*)))
+      // materialize: the signature subtree (66 array_min·xxhash64 passes
+      // over the shingle hashes) feeds FOUR consumers — the banding, the
+      // hot-bucket census, and both sides of the survivor shingle join.
+      // Without this each consumer recomputes it (measured 2× wall on the
+      // bench corpus); with it the LSH index state is built exactly once —
+      // the shape a real pipeline wants at any scale (the index IS the
+      // artifact). Spill-safe: MEMORY_AND_DISK.
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded0 = base.select(col("id"), col("sub_key"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -166,6 +175,9 @@ object Dedup {
     val banded = subSplitHot(banded0, Seq("band_idx", "band_hash"),
       col("sub_key"), maxBucket)
       .select("id", "band_idx", "band_hash", "sub_bucket")
+      // thin (4 columns, ~40 B/row) and scanned three times: the hot-bucket
+      // census upstream plus both self-join sides
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_idx", "band_hash", "sub_bucket"))
@@ -191,7 +203,14 @@ object Dedup {
     * ([[subSplitHot]]): within an oversized bucket a true pair at Jaccard s
     * survives w.p. ~s^subRows per band — and near-dup pairs share many of
     * the `bands` tables, so the miss probability compounds down; pairs in
-    * buckets at or under the cap are never dropped. */
+    * buckets at or under the cap are never dropped.
+    *
+    * Caching contract: the returned (lazy) plan reads two persisted
+    * intermediates (signature state and the thin banded frame) that stay
+    * registered until the session ends — repeated identical calls reuse
+    * the same entries (CacheManager dedupes by plan), and a long-running
+    * pipeline cycling many distinct corpora should
+    * `spark.catalog.clearCache()` between them. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -277,6 +296,9 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .select(col("id"), col("simhash"), col("band_idx"),
         col("col.key").as("band_key"), col("col.subs").as("subs"))
+      // scanned twice (hot-bucket census + the probe join) — materialize so
+      // the fingerprint/banding pass runs once
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // hot-bucket sub-split (embed_neardup's cap pattern, multi-probe form):
     // rows in buckets over `maxBucket` are re-keyed by EVERY non-combo
@@ -298,10 +320,11 @@ object Dedup {
       .select(col("id"), col("simhash"), col("band_idx"), col("band_key"),
         col("probe.slot").as("sub_slot"), col("probe.v").as("sub_val"))
 
-    val a = banded.select(col("band_idx"), col("band_key"),
+    val bandedP = banded.persist(StorageLevel.MEMORY_AND_DISK) // both join sides
+    val a = bandedP.select(col("band_idx"), col("band_key"),
       col("sub_slot"), col("sub_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_idx"), col("band_key"),
+    val b = bandedP.select(col("band_idx"), col("band_key"),
       col("sub_slot"), col("sub_val"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
     val candidates = a.join(b, Seq("band_idx", "band_key", "sub_slot", "sub_val"))

@@ -75,10 +75,12 @@ object Demos {
     sharedCrawl(s, dir)
     recrawlCrawl(s, dir)
     hostrankCrawl(s, dir)
+    hostcapCrawl(s, dir)
     ensureRobotsFixture(s, dir)
     ensureCrawlFixtures(s, dir)
     ensureFixture("oraclerecrawl", dir)(p => writeCrawlLogFixture(s, dir, recrawlCfg, p))
     ensureFixture("oraclehostrank", dir)(p => writeCrawlLogFixture(s, dir, hostrankCfg, p))
+    ensureFixture("oraclehostcap", dir)(p => writeCrawlLogFixture(s, dir, hostcapCfg, p))
     ensureMediaFixtures(s, dir)
     bucketedPages(s, dir) // the one-time CorpusStore write is fixture setup,
     ()                    // not what the corpus_bucketed demo measures

@@ -117,11 +117,15 @@ object ScalingBench {
       // the defaults a 4-round run never fires either (compactSeenEvery=8,
       // expiration off), so their steady-state overhead needs its own
       // campaign with the cadence dialed down into the run's round count.
+      // GRAFT_MAX_NEW_PER_HOST forces the crawl-trap guard (per-host
+      // admission cap) into the timed loop, so a campaign can measure the
+      // row_number admission window's scaling cost.
       val cfg = CrawlConfig(rounds = rounds, roundLenMs = 60000L, verbose = true,
         fetchBroadcastMax = 0L,
         compactSeenEvery = sys.env.getOrElse("GRAFT_COMPACT_EVERY", "8").toInt,
         expireEveryRounds = sys.env.getOrElse("GRAFT_EXPIRE_EVERY", "0").toInt,
-        expireKeepLast = sys.env.getOrElse("GRAFT_EXPIRE_KEEP", "0").toInt)
+        expireKeepLast = sys.env.getOrElse("GRAFT_EXPIRE_KEEP", "0").toInt,
+        maxNewPerHost = sys.env.getOrElse("GRAFT_MAX_NEW_PER_HOST", "0").toInt)
       // Corpus layout, two modes:
       //
       // GRAFT_CORPUS_DIR set (the round-3 campaign default): the corpus is a

@@ -409,22 +409,11 @@ object CrawlEngine {
         col("warc_ts"))
 
       // Crawl-trap guard (cfg.maxNewPerHost): admit at most K new urls per
-      // host per round, ranked by the frontier's own total order — one
-      // row_number window partitioned by host over the ROUND's new entries
-      // (round-sized, never frontier-sized; the host exchange it introduces
-      // is the partitioning the next dequeue wants anyway). Dropped rows
-      // never reach the seen delta or the Bloom aggregate (both read this
-      // frame's checkpoint), so they stay re-discoverable in later rounds.
+      // host per round, ranked by the frontier's own total order. Dropped
+      // rows never reach the seen delta or the Bloom aggregate (both read
+      // this frame's checkpoint), so they stay re-discoverable later.
       val admitted =
-        if (cfg.maxNewPerHost > 0)
-          newEntries
-            .withColumn("__adm_rn", row_number().over(Window
-              .partitionBy("host")
-              .orderBy(col("priority").desc, col("warc_ts"),
-                col("url_hash"), col("url"))))
-            .filter(col("__adm_rn") <= cfg.maxNewPerHost)
-            .drop("__adm_rn")
-        else newEntries
+        if (cfg.maxNewPerHost > 0) capPerHost(newEntries, cfg) else newEntries
 
       // Lazy local checkpoint (see hostStateNextP): cached blocks +
       // truncated plan, materialized by whichever consumer runs first (the
@@ -704,5 +693,36 @@ object CrawlEngine {
         .drop("presel_rank")
         .withColumn("rank_in_host", row_number().over(w))
     }
+  }
+
+  /** O4: crawl-trap admission cap — at most `maxNewPerHost` new urls per
+    * host per round, by the frontier's total order. One row_number window
+    * partitioned by host over the ROUND's new entries (round-sized, never
+    * frontier-sized; the host exchange it introduces is the partitioning the
+    * next dequeue wants anyway). A trap host is EXACTLY the case where one
+    * round's discoveries are mega-skewed — millions of outlinks from one
+    * host land in a single window task — so under cfg.twoPhaseDequeue the
+    * same salted pre-rank as rankPerHost spreads that host over S tasks
+    * first: per-(host, salt) top-K is a superset of the per-host top-K, so
+    * the exact phase-2 window sees at most S·K rows per host. */
+  private[spider] def capPerHost(newEntries: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val order = Seq(col("priority").desc, col("warc_ts").asc,
+      col("url_hash").asc, col("url").asc)
+    val w = Window.partitionBy("host").orderBy(order: _*)
+    val pre =
+      if (!cfg.twoPhaseDequeue) newEntries
+      else {
+        val s = math.max(2, cfg.saltFactor)
+        val wSalt = Window.partitionBy(col("host"), pmod(col("url_hash"), lit(s.toLong)))
+          .orderBy(order: _*)
+        newEntries
+          .withColumn("__adm_pre", row_number().over(wSalt))
+          .filter(col("__adm_pre") <= cfg.maxNewPerHost)
+          .drop("__adm_pre")
+      }
+    pre
+      .withColumn("__adm_rn", row_number().over(w))
+      .filter(col("__adm_rn") <= cfg.maxNewPerHost)
+      .drop("__adm_rn")
   }
 }

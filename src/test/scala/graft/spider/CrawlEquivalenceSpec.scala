@@ -289,6 +289,40 @@ class CrawlEquivalenceSpec extends AnyFunSuite with SparkTestBase {
     assert(engAdm.forall(_ <= 3), s"round-5 admission exceeded cap: ${engAdm.max}")
   }
 
+  test("crawl-trap guard two-phase ≡ plain window (salted admission cap is " +
+      "exact): unit equivalence on a mega-skewed round + e2e ≡ oracle") {
+    // Unit: one trap host contributes 5000 of 5060 new entries (the exact
+    // shape the salted pre-rank exists for), ties in priority broken by the
+    // total order (url_hash, url). Per-(host, salt) top-K ⊇ per-host top-K,
+    // so both variants must select the SAME rows.
+    import spark.implicits._
+    val rows = (0 until 5000).map { i =>
+      (s"http://trap.example/p$i", Hash64.string(s"http://trap.example/p$i"),
+        "trap.example", 5 - (i % 3), 1700000000000000L + (i % 7).toLong)
+    } ++ (0 until 60).map { i =>
+      (s"http://ok${i % 6}.example/p$i", Hash64.string(s"http://ok$i"),
+        s"ok${i % 6}.example", 5, 1700000000000000L + i.toLong)
+    }
+    val df = rows.toDF("url", "url_hash", "host", "priority", "ts")
+      .withColumn("warc_ts", timestamp_micros(col("ts"))).drop("ts")
+    def run(two: Boolean) = CrawlEngine.capPerHost(df,
+        CrawlConfig(maxNewPerHost = 3, twoPhaseDequeue = two, saltFactor = 4))
+      .select("host", "url").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val plain = run(two = false)
+    val salted = run(two = true)
+    assert(plain == salted, "two-phase admission selected different rows")
+    assert(plain.count(_._1 == "trap.example") == 3)
+    // E2E: the oracle is phase-agnostic — the salted engine path must still
+    // replay it exactly with the cap binding.
+    val cfg = CrawlConfig(rounds = 4, maxNewPerHost = 3,
+      twoPhaseDequeue = true, saltFactor = 4)
+    val oracleRes = CrawlOracle.run(oraclePages, CrawlOracle.seeds(docs, cfg), cfg)
+    val catalog = engineCrawl(cfg)
+    assert(crawledTuples(catalog, 4) == oracleTuples(oracleRes))
+    assert(seenSet(catalog, 4) == oracleRes.seen)
+    assert(frontierSet(catalog, 4) == oracleFrontierSet(oracleRes))
+  }
+
   test("crawl-trap guard kill/resume: capped admission is a pure function " +
       "of round state — resume ≡ uninterrupted") {
     val cfg = CrawlConfig(rounds = 5, maxNewPerHost = 3)

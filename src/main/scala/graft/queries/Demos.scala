@@ -528,6 +528,36 @@ object Demos {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    // the END-TO-END cleaning pass a training-data job runs as ONE
+    // declarative plan: language gate → quality gate → exact-dedup
+    // collapse → per-source corpus report. Exercised on a corpus with
+    // injected exact duplicates (ids +100000) so the dedup stage binds.
+    // Scale shape: the gates are per-row expressions Catalyst fuses into
+    // the scan (one WholeStageCodegen span, no shuffle); the collapse is
+    // ONE hash-agg on xxhash64(text) electing the min-id row via min_by
+    // (map-side partial agg — a boilerplate page duplicated 10^6 times
+    // still contributes one row per map partition); the report is a
+    // second tiny hash-agg keyed by source. No joins anywhere.
+    "corpus_pipeline" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents").select("doc_id", "source", "text")
+      val d = d0.unionByName(d0.withColumn("doc_id", col("doc_id") + 100000))
+      val gated = TextStats.qualityFeatures(d, "text")
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+        .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
+      val reps = gated
+        .groupBy(xxhash64(col("text")).as("text_hash"))
+        .agg(min_by(
+          struct(col("doc_id"), col("source"),
+            col("n_tokens").cast("long").as("n_tokens"), col("quality_score")),
+          col("doc_id")).as("rep"))
+        .select(col("rep.*"))
+      reps.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(avg(col("quality_score")), 6).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // ------------------------------------------------------------------
     // D. crawl-specific + sketch + ANN operators (no ANSI-SQL equivalent →
     //    no oracleSql entry; each is verified against the oracle module /
@@ -1419,6 +1449,53 @@ object Demos {
         "AND a.vec_id < c.vec_id " +
         "WHERE list_cosine_similarity(a.v, c.v) >= 0.999 " +
         "ORDER BY id_a, id_b"),
+    // the composed cleaning pass re-derived end-to-end in SQL: the same
+    // lang-id CASE and quality formula as the duck-green lang_id /
+    // text_quality oracles, then group-by-text arg_min collapse (= the
+    // engine's xxhash64-keyed min_by) and the per-source rollup. avg is
+    // rounded to 6 on both sides (summation-order ulps sit inside the grid).
+    "corpus_pipeline" ->
+      ("WITH corpus AS (SELECT doc_id, source, text FROM documents " +
+        "UNION ALL SELECT doc_id + 100000, source, text FROM documents), " +
+        "f AS (SELECT doc_id, source, text, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['the','and','of','to','is','in','that','with','for','a'])) AS h_en, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['le','la','les','et','de','des','est','dans','pour','une'])) AS h_fr, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['el','la','los','las','y','de','es','en','que','una'])) AS h_es, " +
+        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
+        "['der','die','das','und','ist','von','mit','für','ein','nicht'])) AS h_de, " +
+        "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+        "length(text) AS nc, " +
+        "length(text) - length(regexp_replace(text, '[àâçéèêëîïôùûœ]', '', 'g')) AS frd, " +
+        "length(text) - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g')) AS esd, " +
+        "length(text) - length(regexp_replace(text, '[äöüß]', '', 'g')) AS ded, " +
+        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
+        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np, " +
+        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu " +
+        "FROM corpus), " +
+        "p AS (SELECT doc_id, source, text, nt, " +
+        "CASE WHEN CAST(cjk AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) > 0.15 THEN 'zh' " +
+        "WHEN h_fr + frd > h_en AND h_fr + frd >= h_es + esd AND " +
+        "h_fr + frd >= h_de + ded AND h_fr + frd > 0 THEN 'fr' " +
+        "WHEN h_es + esd > h_en AND h_es + esd >= h_de + ded AND h_es + esd > 0 THEN 'es' " +
+        "WHEN h_de + ded > h_en AND h_de + ded > 0 THEN 'de' " +
+        "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred, " +
+        "CASE WHEN nt < 5 THEN 0.0 ELSE 1.0 " +
+        "- least(CAST(np AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) * 2, 0.5) " +
+        "- least(CAST(nu AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0), 0.3) " +
+        "+ least(CAST(h_en AS DOUBLE) * 0.02, 0.2) END AS quality_score " +
+        "FROM f), " +
+        "gated AS (SELECT * FROM p WHERE lang_pred = 'en' AND quality_score >= 0.5), " +
+        "reps AS (SELECT arg_min(source, doc_id) AS source, " +
+        "arg_min(nt, doc_id) AS n_tokens, " +
+        "arg_min(quality_score, doc_id) AS quality_score " +
+        "FROM gated GROUP BY text) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens, " +
+        "round(avg(quality_score), 6) AS avg_quality " +
+        "FROM reps GROUP BY source ORDER BY source"),
     // PageRank re-derived by unrolling the same 10 power iterations in SQL
     // over the oracle outlinks fixture (byte-checked by extract_outlinks):
     // same vertex set, self-edge drop, edge multiplicity, damping 0.85,

@@ -87,6 +87,47 @@ class TextStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(out("short") == 0.0)
   }
 
+  test("corpus_pipeline: injected exact copies leave the report unchanged; gates bind") {
+    import org.apache.spark.sql.expressions.Window
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.queries.Demos.queries("corpus_pipeline")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // Independent derivation over the ORIGINAL corpus only (no +100000
+    // copies), with a structurally different collapse: group by the raw
+    // text via a row_number window instead of the engine's
+    // xxhash64-keyed min_by. Copy-injection must be invisible in the
+    // report because every copy shares its original's text and a larger
+    // doc_id, so the min-id representative is always the original.
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val gated = TextStats.qualityFeatures(d0, "text")
+      .withColumn("lang_pred", TextStats.langId(col("text")))
+      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
+    val reps = gated
+      .withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(Window.partitionBy("text").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val want = reps.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        avg(col("quality_score")).as("avg_quality"))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case ((s1, n1, t1, q1), (s2, n2, t2, q2)) =>
+      assert(s1 == s2 && n1 == n2 && t1 == t2, s"$s1: ($n1,$t1) vs ($n2,$t2)")
+      assert(math.abs(q1 - q2) < 1e-6, s"$s1 avg_quality $q1 vs $q2")
+    }
+    // non-vacuity: the gates reject some rows, and the pipeline saw real
+    // duplicate groups (every original has an injected copy).
+    assert(gated.count() < d0.count(), "quality/lang gates never bound")
+    // the dup corpus fed 2× gated rows into the collapse; the report keeps
+    // at most one per text — strictly fewer rows than the collapse consumed.
+    assert(got.map(_._2).sum <= gated.count(), "dedup collapse never bound")
+  }
+
   test("doc_fingerprint: deterministic; stable under suffix extension (min-window)") {
     import spark.implicits._
     import PipeFunctions._

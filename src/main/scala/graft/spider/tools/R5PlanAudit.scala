@@ -146,6 +146,69 @@ object R5PlanAudit {
       "fingerprint group wider than maxHostsPerFp reaches the pairing)\n\n```\n")
     sb.append(fmt(mirrors)).append("\n```\n")
 
+    // ---- 3. corpus_pipeline: single-pass collapse, join-free, gates in the
+    // scan stage. The dedup collapse is min_by(struct, doc_id) — its struct
+    // buffer keeps it off the hash map (SortAggregateExec), but the partial
+    // mode sits BELOW the exchange, so a boilerplate page duplicated 10^6
+    // times still combines to one row per map task before any shuffle, and
+    // the pre-agg sort keys on the 8-byte xxhash64 (radix-sortable,
+    // spillable). The alternative — pure hash-agg on min(doc_id) plus a
+    // join back for the rep's attributes — would shuffle the gated corpus
+    // twice; one sorted pass wins at scale.
+    val pipe = graft.queries.Demos.queries("corpus_pipeline")(spark, sfDir)
+    pipe.count()
+    val pPlan = pipe.queryExecution.executedPlan
+    // join-free end to end
+    assert(pPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "corpus_pipeline plan contains a join")
+    // exactly 3 exchanges: collapse key, source rollup, presentation sort
+    val pexs = shuffles(pPlan)
+    assert(pexs.length == 3, s"expected 3 exchanges, got ${pexs.length}")
+    val pparts = pexs.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(pparts == Seq("HashPartitioning", "HashPartitioning", "RangePartitioning"),
+      s"exchange partitionings: $pparts")
+    // the collapse's PARTIAL aggregate lives in the scan stage: its subtree
+    // has the corpus scans and the gate filters but NO exchange (map-side
+    // combine really happens before the first shuffle)
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
+    val partialCollapse = pPlan.collect {
+      case a: SortAggregateExec
+        if a.aggregateExpressions.exists(_.mode == Partial) => a
+    }
+    assert(partialCollapse.nonEmpty, "no partial-mode collapse aggregate")
+    partialCollapse.foreach { a =>
+      assert(shuffles(a).isEmpty, "exchange below the partial collapse agg")
+      assert(a.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.nonEmpty, "lang/quality gate filter not below the partial collapse")
+      assert(a.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.nonEmpty, "corpus scan not in the partial collapse stage")
+    }
+    // the per-source rollup is a hash agg (primitive buffers) with its own
+    // partial mode below its exchange
+    val rollupAggs = pPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(rollupAggs.exists(_.aggregateExpressions.exists(_.mode == Partial)),
+      "source rollup has no map-side partial hash agg")
+    val aggKinds = pPlan.collect {
+      case a: BaseAggregateExec =>
+        a.getClass.getSimpleName + "(" +
+          a.aggregateExpressions.map(_.mode).distinct.mkString(",") + ")"
+    }
+    sb.append("## corpus_pipeline (composed cleaning pass: lang gate → " +
+      "quality gate → exact-dedup collapse → per-source report) over sf " +
+      "documents + injected copies (VERIFIED: join-free; exactly three " +
+      "exchanges — collapse key, source rollup, presentation sort; the " +
+      "min_by collapse runs PARTIAL below the first exchange with the gate " +
+      "filters and the parquet scans in the same stage, so exact-duplicate " +
+      "floods combine map-side; aggregates: " + aggKinds.mkString(", ") +
+      ")\n\n```\n")
+    sb.append(fmt(pipe)).append("\n```\n")
+
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote $outFile (all assertions passed)")

@@ -341,7 +341,15 @@ object Dedup {
     * under [[dedupClusters]]); buckets wider than `maxBucket` are sub-split
     * by multi-probe over the non-combo fingerprint blocks, confining any
     * recall loss to pairs with exactly 2 intact blocks whose single shared
-    * table is saturated (see [[simhashCandidates]]). */
+    * table is saturated (see [[simhashCandidates]]).
+    *
+    * Caching contract (same as [[minhashPairs]]): the returned lazy plan
+    * reads two persisted intermediates (the raw banded frame and the
+    * probe-expanded one) that stay registered until the session ends —
+    * repeated identical calls reuse them (CacheManager dedupes by plan);
+    * a long-running pipeline cycling many DISTINCT corpora should
+    * `spark.catalog.clearCache()` between them or the cached frames
+    * accumulate. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {

@@ -140,10 +140,17 @@ object LinkRank {
   /** Priority tier of a PageRank value: min(9, floor(log2(max(1,
     * floor(rank·n·4))))) — an average-rank vertex (rank·n = 1) tiers at 2,
     * hubs saturate at 9, below-average vertices at 0. A pure per-row
-    * function (no global sort/ntile at any graph size); the quantize-to-
-    * long then integer-log2-via-bit-length (`length(bin(v)) - 1`) makes the
-    * tier robust to float-summation-order ulps, so a sequential replay
-    * (CrawlOracle.hostRankBoost) lands on the same integers. */
+    * function (no global sort/ntile at any graph size).
+    *
+    * Ulp robustness, stated precisely: a distributed rank and a sequential
+    * replay (CrawlOracle.hostRankBoost) differ by summation-order ulps
+    * (~1e-15 relative). The outer log2 collapses every integer crossing of
+    * the inner floor except the POWERS OF TWO, so the two sides disagree
+    * only when a host's rank·n·4 lands within that ulp band of one of the
+    * ten boundaries {1,2,4,…,512} — a ~1e-12-per-host event, which is the
+    * reason the quantizer is log2-tiered rather than per-integer. No
+    * deterministic quantizer of ulp-divergent inputs can have an empty
+    * disagreement set; this one makes it ten points. */
   def rankTier(rank: org.apache.spark.sql.Column, n: Long): org.apache.spark.sql.Column =
     least(lit(9),
       length(bin(greatest(lit(1L), floor(rank * lit(n.toDouble) * lit(4.0))))) - 1)

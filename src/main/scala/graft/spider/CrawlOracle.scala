@@ -66,8 +66,11 @@ object CrawlOracle {
     *   boost = min(9, floor(log2(max(1, floor(rank · n · 4)))))
     *
     * via integer bit length — the same quantize-then-log2 the engine runs in
-    * SQL (`length(bin(...)) - 1`), so engine and oracle agree despite
-    * summation-order ulps. Only boosts ≥ 1 are kept (0 is the default). */
+    * SQL (`length(bin(...)) - 1`). Engine and oracle agree unless a host's
+    * rank·n·4 lands within summation-order ulps (~1e-15 relative) of one of
+    * the ten power-of-two tier boundaries — see the precise statement on
+    * [[graft.datapipe.LinkRank.rankTier]]. Only boosts ≥ 1 are kept (0 is
+    * the default). */
   private[spider] def hostRankBoost(
       edges: Set[(String, String)], iters: Int,
       damping: Double = 0.85): Map[String, Int] = {

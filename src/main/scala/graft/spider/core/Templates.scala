@@ -105,9 +105,15 @@ object Templates {
     * Deterministic hash split — both templates are active on any corpus
     * with a handful of hosts (asserted in the e2e specs). A production
     * deployment would load an explicit host → template table; the dispatch
-    * point is the same. */
+    * point is the same.
+    *
+    * A null host (URL whose host cannot be parsed) dispatches to the
+    * article default — extraction must still produce text for such rows,
+    * and the rule must be THIS function so the Catalyst expressions and
+    * the single-threaded oracle agree on it. */
   def forHost(host: String): Template =
-    if (Hash64.pmod(Hash64.string("tpl-" + host), 2L) == 0L) Paragraph else ItemDesc
+    if (host == null) Paragraph
+    else if (Hash64.pmod(Hash64.string("tpl-" + host), 2L) == 0L) Paragraph else ItemDesc
 
   /** Dispatch wrap by host. */
   def wrapFor(host: String, docId: Long, text: String, outlinks: Seq[String],

@@ -53,14 +53,26 @@ case class UrlHostExpr(child: Expression)
 
 /** E5: EC-Spider item-parsing semantics — extracted text of a page, under
   * the page host's template ([[Templates.forHost]]: per-site selector
-  * dispatch, the reference's JD-vs-Taobao shape). */
+  * dispatch, the reference's JD-vs-Taobao shape).
+  *
+  * Null-tolerant on the HOST side only: a null host (unparseable URL)
+  * dispatches to the default template via [[Templates.forHost]] — the same
+  * rule the oracle applies — instead of null-propagating, which would
+  * silently drop the row's text from the corpus. Null html is still null. */
 case class ExtractTextExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = StringType
   override def prettyName: String = "extract_text"
-  override protected def nullSafeEval(html: Any, host: Any): Any =
-    UTF8String.fromString(Templates.extractTextFor(
-      host.asInstanceOf[UTF8String].toString, html.asInstanceOf[Array[Byte]]))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val html = left.eval(input)
+    if (html == null) null
+    else {
+      val host = right.eval(input)
+      UTF8String.fromString(Templates.extractTextFor(
+        if (host == null) null else host.asInstanceOf[UTF8String].toString,
+        html.asInstanceOf[Array[Byte]]))
+    }
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ExtractTextExpr =
     copy(left = l, right = r)
 }
@@ -89,10 +101,16 @@ case class ExtractPageExpr(left: Expression, right: Expression)
     StructField("text", StringType, nullable = false),
     StructField("outlinks", ArrayType(StringType, containsNull = false), nullable = false)))
   override def prettyName: String = "extract_page"
-  override protected def nullSafeEval(html: Any, host: Any): Any = {
+  // null-tolerant on host, same contract as ExtractTextExpr
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val html = left.eval(input)
+    if (html == null) return null
+    val host = right.eval(input)
     val bytes = html.asInstanceOf[Array[Byte]]
     val doc = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    val text = Templates.forHost(host.asInstanceOf[UTF8String].toString).extractTextStr(doc)
+    val tpl = Templates.forHost(
+      if (host == null) null else host.asInstanceOf[UTF8String].toString)
+    val text = tpl.extractTextStr(doc)
     val links = HtmlCodec.extractOutlinksStr(doc)
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(text),

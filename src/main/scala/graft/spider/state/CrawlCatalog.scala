@@ -537,7 +537,8 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       .collect { case (r, p) if r <= round => p }
     val paths = legacy ++ (math.max(1, through + 1) to round).flatMap { r =>
       val t = manifest(r).get("tables").get("crawled")
-      if (t == null) None else Some(t.get("path").asText())
+      if (t == null || t.get("rows").asLong() == 0L) None
+      else Some(t.get("path").asText())
     }
     require(paths.nonEmpty, s"no crawled data through round $round")
     spark.read.parquet(paths: _*)
@@ -556,7 +557,10 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
         }
       else {
         val t = manifest(round).get("tables").get("crawled")
-        if (t == null) None else Some(t.get("path").asText())
+        // rows==0 guard as in readHostEdges/seenPathsThrough: don't rely on
+        // the committer having emitted a schema-carrying empty part-file
+        if (t == null || t.get("rows").asLong() == 0L) None
+        else Some(t.get("path").asText())
       }
     path.map(p => spark.read.parquet(p))
   }
@@ -687,7 +691,7 @@ class CrawlCatalog(val root: String, spark: SparkSession) {
       if (manifestExists(r)) {
         val m = manifest(r)
         val t = m.get("tables").get("crawled")
-        if (t != null) {
+        if (t != null && t.get("rows").asLong() != 0L) {
           val c = crawledArr.addObject(); c.put("round", r); c.put("path", t.get("path").asText())
         }
         addCounters(countersOf(r))

@@ -57,6 +57,26 @@ class ExprConsistencySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("extract_text / extract_page: null host falls back to the default template; null html stays null") {
+    import spark.implicits._
+    val hostP = (0 to 99).map(i => s"p$i.example.com")
+      .find(h => Templates.forHost(h) == Templates.Paragraph).get
+    val html = Templates.wrapFor(hostP, 9, "kept text", Seq("https://e/5"))
+    // an unparseable URL yields a null host (url_host semantics) — the row's
+    // text must still be extracted under the default template, not nulled out
+    val df = Seq((html, Option.empty[String]), (null: Array[Byte], Option("h.example.com")))
+      .toDF("html", "host")
+      .select(extract_text(col("html"), col("host")).as("t"),
+        extract_page(col("html"), col("host")).as("p"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "kept text")
+    assert(rows(0).getStruct(1).getString(0) == "kept text")
+    assert(rows(0).getStruct(1).getSeq[String](1) == Seq("https://e/5"))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    // and the fallback rule is Templates.forHost(null) itself (oracle parity)
+    assert(Templates.forHost(null) == Templates.Paragraph)
+  }
+
   test("Templates: byte identity + field-selector semantics per template") {
     // identity for both templates, including entities and CJK
     val texts = Seq("hello & <world>", "数据 表 \"q\" 'a'", "", "plain text")

@@ -21,7 +21,7 @@ object SparkEntry {
     graft.queries.Demos.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables — complete as of r5 (62/62). Ops without a
+    * the same parquet tables — complete as of r5 (63/63). Ops without a
     * from-scratch SQL semantics use materialized state/expected fixtures:
     * hash/index state the oracle re-derives the result from (minhash,
     * simhash, LSH/IVF buckets), single-threaded oracle replays (crawl log,

@@ -25,6 +25,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Persisted LSH intermediates (signature state + banded frames) the
+    * minhash/simhash plans read — registered here so a pipeline can free
+    * them without nuking the session's whole cache. */
+  private val lshState = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private def registerLsh(df: DataFrame): DataFrame = lshState.synchronized {
+    lshState += df; df
+  }
+
+  /** Release every persisted LSH intermediate registered in this JVM by
+    * [[minhashPairs]]/[[simhashPairs]] (and the `*State`/`*Candidates`
+    * builders under them) — the targeted alternative to
+    * `spark.catalog.clearCache()` for a long-running pipeline cycling
+    * distinct corpora. Safe while returned plans are still lazy: unpersist
+    * only drops cached blocks, later actions recompute. */
+  def releaseLshState(): Unit = lshState.synchronized {
+    lshState.foreach(_.unpersist(false)); lshState.clear()
+  }
+
   /** tokens = lowercase whitespace split. */
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 
@@ -165,6 +183,7 @@ object Dedup {
       // the shape a real pipeline wants at any scale (the index IS the
       // artifact). Spill-safe: MEMORY_AND_DISK.
       .persist(StorageLevel.MEMORY_AND_DISK)
+    registerLsh(base)
 
     val banded0 = base.select(col("id"), col("sub_key"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -178,6 +197,7 @@ object Dedup {
       // thin (4 columns, ~40 B/row) and scanned three times: the hot-bucket
       // census upstream plus both self-join sides
       .persist(StorageLevel.MEMORY_AND_DISK)
+    registerLsh(banded)
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band_idx", "band_hash", "sub_bucket"))
@@ -209,8 +229,8 @@ object Dedup {
     * intermediates (signature state and the thin banded frame) that stay
     * registered until the session ends — repeated identical calls reuse
     * the same entries (CacheManager dedupes by plan), and a long-running
-    * pipeline cycling many distinct corpora should
-    * `spark.catalog.clearCache()` between them. */
+    * pipeline cycling many distinct corpora should call
+    * [[releaseLshState]] (or `spark.catalog.clearCache()`) between them. */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -299,6 +319,7 @@ object Dedup {
       // scanned twice (hot-bucket census + the probe join) — materialize so
       // the fingerprint/banding pass runs once
       .persist(StorageLevel.MEMORY_AND_DISK)
+    registerLsh(banded0)
 
     // hot-bucket sub-split (embed_neardup's cap pattern, multi-probe form):
     // rows in buckets over `maxBucket` are re-keyed by EVERY non-combo
@@ -320,7 +341,8 @@ object Dedup {
       .select(col("id"), col("simhash"), col("band_idx"), col("band_key"),
         col("probe.slot").as("sub_slot"), col("probe.v").as("sub_val"))
 
-    val bandedP = banded.persist(StorageLevel.MEMORY_AND_DISK) // both join sides
+    val bandedP = registerLsh(
+      banded.persist(StorageLevel.MEMORY_AND_DISK)) // both join sides
     val a = bandedP.select(col("band_idx"), col("band_key"),
       col("sub_slot"), col("sub_val"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
@@ -347,9 +369,9 @@ object Dedup {
     * reads two persisted intermediates (the raw banded frame and the
     * probe-expanded one) that stay registered until the session ends —
     * repeated identical calls reuse them (CacheManager dedupes by plan);
-    * a long-running pipeline cycling many DISTINCT corpora should
-    * `spark.catalog.clearCache()` between them or the cached frames
-    * accumulate. */
+    * a long-running pipeline cycling many DISTINCT corpora should call
+    * [[releaseLshState]] (or `spark.catalog.clearCache()`) between them or
+    * the cached frames accumulate. */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Long = 10000L): DataFrame = {

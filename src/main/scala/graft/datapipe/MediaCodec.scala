@@ -134,6 +134,67 @@ object MediaCodec {
     buf.array()
   }
 
+  /** One full-buffer deflate pass (shared by the PNG and APNG encoders). */
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    out.toByteArray
+  }
+
+  private case class Ihdr(width: Int, height: Int, channels: Int)
+
+  /** Parse + validate an IHDR chunk at `pos` — ONE set of header rules for
+    * the still and animated decoders (they diverged once: the APNG path
+    * lacked the compression/filter-method check). */
+  private def parseIhdr(bytes: Array[Byte], buf: ByteBuffer, pos: Int, len: Int): Ihdr = {
+    require(len == 13, s"bad IHDR length $len")
+    val width = buf.getInt(pos + 8)
+    val height = buf.getInt(pos + 12)
+    val bitDepth = bytes(pos + 16)
+    require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (8 only)")
+    val channels = bytes(pos + 17) match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case t => throw new IllegalArgumentException(
+        s"unsupported PNG color type $t (gray/RGB/RGBA only)")
+    }
+    require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+      "unsupported PNG compression/filter method")
+    require(bytes(pos + 20) == 0, "interlaced PNG not supported")
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"implausible PNG dimensions ${width}x$height")
+    Ihdr(width, height, channels)
+  }
+
+  /** Walk a PNG chunk stream, verifying length bounds and per-chunk CRCs;
+    * `handler` sees every chunk except IEND as (kind, chunkPos, dataLen)
+    * with chunk data at `chunkPos + 8`. Fails loudly on truncation, a bad
+    * CRC, or a missing IEND — shared by [[decodePng]] and [[decodeApng]]. */
+  private def walkPngChunks(bytes: Array[Byte])(handler: (String, Int, Int) => Unit): Unit = {
+    require(sniff(bytes) == IsPng, "not a PNG payload")
+    val buf = ByteBuffer.wrap(bytes) // big-endian by default
+    var pos = 8
+    var sawEnd = false
+    while (!sawEnd && pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"truncated PNG chunk at $pos (len $len)")
+      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"PNG chunk $kind CRC mismatch at $pos")
+      if (kind == "IEND") sawEnd = true else handler(kind, pos, len)
+      pos += 12 + len
+    }
+    require(sawEnd, "PNG missing IEND")
+  }
+
   /** 8-bit truecolor (color type 2) PNG from (x, y) → (r, g, b); every
     * scanline uses filter 0 (None) — decoders must accept any filter, so
     * tests exercise the other four via hand-built streams. */
@@ -157,64 +218,26 @@ object MediaCodec {
     val ihdr = ByteBuffer.allocate(13)
       .putInt(width).putInt(height).put(8: Byte).put(2: Byte)
       .put(0: Byte).put(0: Byte).put(0: Byte).array()
-    val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val out = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](8192)
-    while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
-    deflater.end()
-    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", deflate(raw)) ++
       pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** Parse + inflate + unfilter a PNG (8-bit, color type 0/2/6, no
     * interlace). CRCs verified per chunk. */
   def decodePng(bytes: Array[Byte]): Png = {
-    require(sniff(bytes) == IsPng, "not a PNG payload")
     val buf = ByteBuffer.wrap(bytes) // big-endian by default
-    var pos = 8
-    var width = -1; var height = -1; var channels = -1
+    var hdr: Ihdr = null
     val idat = new java.io.ByteArrayOutputStream()
-    var sawEnd = false
-    while (!sawEnd && pos + 12 <= bytes.length) {
-      val len = buf.getInt(pos)
-      require(len >= 0 && pos + 12 + len <= bytes.length,
-        s"truncated PNG chunk at $pos (len $len)")
-      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes, pos + 4, 4 + len)
-      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
-        s"PNG chunk $kind CRC mismatch at $pos")
+    walkPngChunks(bytes) { (kind, pos, len) =>
       kind match {
-        case "IHDR" =>
-          require(len == 13, s"bad IHDR length $len")
-          width = buf.getInt(pos + 8)
-          height = buf.getInt(pos + 12)
-          val bitDepth = bytes(pos + 16)
-          val colorType = bytes(pos + 17)
-          require(bitDepth == 8, s"unsupported PNG bit depth $bitDepth (8 only)")
-          channels = colorType match {
-            case 0 => 1
-            case 2 => 3
-            case 6 => 4
-            case t => throw new IllegalArgumentException(
-              s"unsupported PNG color type $t (gray/RGB/RGBA only)")
-          }
-          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
-            "unsupported PNG compression/filter method")
-          require(bytes(pos + 20) == 0, "interlaced PNG not supported")
-          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
-            s"implausible PNG dimensions ${width}x$height")
+        case "IHDR" => hdr = parseIhdr(bytes, buf, pos, len)
         case "IDAT" => idat.write(bytes, pos + 8, len)
-        case "IEND" => sawEnd = true
         case _      => // ancillary chunk — skip
       }
-      pos += 12 + len
     }
-    require(width > 0, "PNG missing IHDR")
-    require(sawEnd, "PNG missing IEND")
-    Png(width, height, channels,
-      inflateAndUnfilter(idat.toByteArray, width, height, channels))
+    require(hdr != null, "PNG missing IHDR")
+    Png(hdr.width, hdr.height, hdr.channels,
+      inflateAndUnfilter(idat.toByteArray, hdr.width, hdr.height, hdr.channels))
   }
 
   /** Inflate one PNG/APNG-frame deflate stream to exactly
@@ -312,15 +335,6 @@ object MediaCodec {
       delayNum: Int = 1, delayDen: Int = 10): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
     require(nFrames >= 1, s"need at least one frame, got $nFrames")
-    def deflate(raw: Array[Byte]): Array[Byte] = {
-      val deflater = new java.util.zip.Deflater()
-      deflater.setInput(raw); deflater.finish()
-      val out = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](8192)
-      while (!deflater.finished()) out.write(tmp, 0, deflater.deflate(tmp))
-      deflater.end()
-      out.toByteArray
-    }
     def rawFrame(f: Int): Array[Byte] = {
       val raw = new Array[Byte](height * (1 + width * 3))
       var y = 0
@@ -371,10 +385,8 @@ object MediaCodec {
     * independently (per spec), and compose onto the canvas. Sequence
     * numbers are validated consecutive-from-0; chunk CRCs verified. */
   def decodeApng(bytes: Array[Byte]): Apng = {
-    require(sniff(bytes) == IsPng, "not a PNG payload")
     val buf = ByteBuffer.wrap(bytes)
-    var pos = 8
-    var width = -1; var height = -1; var channels = -1
+    var hdr: Ihdr = null
     var declaredFrames = -1
     // per-frame accumulation: control record + that frame's deflate bytes
     case class Ctl(seq: Int, w: Int, h: Int, x: Int, y: Int,
@@ -384,37 +396,16 @@ object MediaCodec {
     var nextSeq = 0
     var sawIdat = false
     var idatIsFrame0 = false
-    var sawEnd = false
-    while (!sawEnd && pos + 12 <= bytes.length) {
-      val len = buf.getInt(pos)
-      require(len >= 0 && pos + 12 + len <= bytes.length,
-        s"truncated PNG chunk at $pos (len $len)")
-      val kind = new String(bytes, pos + 4, 4, "US-ASCII")
-      val crc = new java.util.zip.CRC32
-      crc.update(bytes, pos + 4, 4 + len)
-      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
-        s"PNG chunk $kind CRC mismatch at $pos")
+    walkPngChunks(bytes) { (kind, pos, len) =>
       kind match {
-        case "IHDR" =>
-          require(len == 13, s"bad IHDR length $len")
-          width = buf.getInt(pos + 8); height = buf.getInt(pos + 12)
-          require(bytes(pos + 16) == 8, "unsupported APNG bit depth (8 only)")
-          channels = bytes(pos + 17) match {
-            case 0 => 1
-            case 2 => 3
-            case 6 => 4
-            case t => throw new IllegalArgumentException(
-              s"unsupported PNG color type $t (gray/RGB/RGBA only)")
-          }
-          require(bytes(pos + 20) == 0, "interlaced APNG not supported")
-          require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
-            s"implausible PNG dimensions ${width}x$height")
+        case "IHDR" => hdr = parseIhdr(bytes, buf, pos, len)
         case "acTL" =>
           require(len == 8, s"bad acTL length $len")
           declaredFrames = buf.getInt(pos + 8)
           require(declaredFrames >= 1, s"bad acTL frame count $declaredFrames")
         case "fcTL" =>
           require(len == 26, s"bad fcTL length $len")
+          require(hdr != null, "fcTL before IHDR")
           val c = Ctl(buf.getInt(pos + 8), buf.getInt(pos + 12), buf.getInt(pos + 16),
             buf.getInt(pos + 20), buf.getInt(pos + 24),
             buf.getShort(pos + 28) & 0xffff, buf.getShort(pos + 30) & 0xffff,
@@ -422,8 +413,8 @@ object MediaCodec {
           require(c.seq == nextSeq, s"fcTL sequence ${c.seq}, expected $nextSeq")
           nextSeq += 1
           require(c.w > 0 && c.h > 0 && c.x >= 0 && c.y >= 0 &&
-            c.x + c.w <= width && c.y + c.h <= height,
-            s"frame region ${c.w}x${c.h}+${c.x}+${c.y} outside ${width}x$height canvas")
+            c.x + c.w <= hdr.width && c.y + c.h <= hdr.height,
+            s"frame region ${c.w}x${c.h}+${c.x}+${c.y} outside ${hdr.width}x${hdr.height} canvas")
           require(c.dispose <= 1, s"unsupported dispose_op ${c.dispose} (none/background only)")
           require(c.blend == 0, s"unsupported blend_op ${c.blend} (source only)")
           if (!sawIdat) idatIsFrame0 = true
@@ -439,13 +430,11 @@ object MediaCodec {
           nextSeq += 1
           require(datas.nonEmpty, "fdAT before any fcTL")
           datas.last.write(bytes, pos + 12, len - 4)
-        case "IEND" => sawEnd = true
-        case _      => // ancillary chunk — skip
+        case _ => // ancillary chunk — skip
       }
-      pos += 12 + len
     }
-    require(width > 0, "PNG missing IHDR")
-    require(sawEnd, "PNG missing IEND")
+    require(hdr != null, "PNG missing IHDR")
+    val width = hdr.width; val height = hdr.height; val channels = hdr.channels
     require(declaredFrames > 0, "not an APNG (no acTL chunk)")
     require(ctls.length == declaredFrames,
       s"acTL declares $declaredFrames frames, found ${ctls.length} fcTL chunks")

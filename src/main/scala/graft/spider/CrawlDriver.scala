@@ -180,6 +180,10 @@ object CrawlDriver {
     // length (bin()), clamp to [0, 9]; only boost ≥ 1 rows are kept (0 is
     // the join default), and the side is broadcast while small.
     var hostBoostCache: Option[DataFrame] = None
+    // the checkpointed frame behind the (possibly broadcast-hinted) boost —
+    // kept so its blocks can be freed when the run ends (the hint wrapper
+    // shares the same underlying LogicalRDD)
+    var hostBoostCkpt: Option[DataFrame] = None
     def hostBoost(r: Int): Option[DataFrame] = {
       if (cfg.hostRankFromRound == 0 || r < cfg.hostRankFromRound + 2) None
       else {
@@ -196,6 +200,7 @@ object CrawlDriver {
             .localCheckpoint(true)
           ranked.unpersist()
           val bn = boost.count()
+          hostBoostCkpt = Some(boost)
           hostBoostCache = Some(
             if (bn <= cfg.cutoffBroadcastMax) broadcast(boost) else boost)
           if (cfg.verbose) System.err.println(
@@ -317,6 +322,11 @@ object CrawlDriver {
           s"fetched=${out.fetchedN}")
     }
     retired.foreach(cleanup)
+    // The hostRank boost lives for the whole run (it joins every boosted
+    // round); free its checkpoint blocks now — Dataset.unpersist is a no-op
+    // on checkpoint-backed frames, so go through the bridge like cleanup().
+    hostBoostCkpt.foreach(b => org.apache.spark.sql.GraftColumnBridge
+      .checkpointRdd(b).foreach(_.unpersist(blocking = false)))
     // Post-crawl table maintenance (all commits final by here): bound the
     // catalog's metadata/state-file count by the retention window.
     if (cfg.expireKeepLast > 0) catalog.expireSnapshots(cfg.expireKeepLast)

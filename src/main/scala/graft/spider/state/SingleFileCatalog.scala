@@ -71,8 +71,11 @@ class SingleFileCatalog(root0: String, spark0: SparkSession)
   }
 
   override protected def deleteManifest(round: Int): Unit = synchronized {
-    snaps.remove(round.toString)
-    persistDoc()
+    // Expiration sweeps re-visit already-swept rounds (the sweep always
+    // walks 0..through); rewriting the whole document for a key that is
+    // not present would make a long crawl's sweeps O(rounds²) full-JSON
+    // writes. Persist only when the document actually changed.
+    if (snaps.remove(round.toString) != null) persistDoc()
   }
 
   override protected def loadExpiredNode(): Option[JsonNode] = synchronized {

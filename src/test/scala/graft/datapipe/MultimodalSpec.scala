@@ -273,6 +273,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assertThrows[IllegalArgumentException](MediaCodec.decodeApng(corrupt))
     assertThrows[IllegalArgumentException](
       MediaCodec.decodeApng(bytes.take(bytes.length / 2)))
+    // an IHDR declaring filter method 1 (CRC fixed up so the chunk-level
+    // check passes) must fail loudly in BOTH decoders — unfiltering with
+    // method-0 semantics would silently mis-decode every scanline
+    val badFilter = bytes.clone()
+    badFilter(27) = 1 // IHDR data byte 11 = filter method
+    val ihdrCrc = new java.util.zip.CRC32
+    ihdrCrc.update(badFilter, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(badFilter).putInt(29, ihdrCrc.getValue.toInt)
+    assertThrows[IllegalArgumentException](MediaCodec.decodePng(badFilter))
+    assertThrows[IllegalArgumentException](MediaCodec.decodeApng(badFilter))
   }
 
   test("APNG composition: sub-region frame + dispose background, hand-built stream") {

@@ -53,12 +53,29 @@ object Bench {
     graft.queries.Demos.prewarm(spark, sfDir)
     val prewarmSecs = (System.nanoTime() - tPrewarm0) / 1e9
 
+    // TWO full sweeps, per-query time = min of the two. This box stalls in
+    // minute-scale phases (measured 2026-08-21: one run's alphabetical
+    // window e..m inflated 6-9× while probes before/after read normal, the
+    // next run was uniformly fast) — a single-shot sweep can tar a
+    // contiguous block of queries with one stall. The min of two sweeps
+    // taken minutes apart is robust to any stall shorter than a sweep;
+    // both raw sweeps are reported alongside for transparency
+    // (`queries_rep1/2`), so a reader can reconstruct the single-shot view.
     val tQueries0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def sweep(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val rep1 = sweep()
+    // drop the LSH state the minhash/simhash queries persisted, so sweep 2
+    // measures the same COLD build as sweep 1 (without this the CacheManager
+    // serves sweep 2 the sweep-1 signatures and min-of-2 reports a warm
+    // number for those two queries); everything else cleans up after itself
+    graft.datapipe.Dedup.releaseLshState()
+    val rep2 = sweep()
+    val results = rep1.zip(rep2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val queriesSecs = (System.nanoTime() - tQueries0) / 1e9
     val probeMid = probe()
 
@@ -88,13 +105,15 @@ object Bench {
     val crawlSecs = (System.nanoTime() - tCrawl0) / 1e9
     val probePost = probe()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = qjson(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val attribution =
       f""""probe_gibs":{"pre":$probePre%.2f,"mid":$probeMid%.2f,"post":$probePost%.2f},""" +
         f""""phases":{"wall_start_ms":$wall0,"prewarm":$prewarmSecs%.1f,""" +
-        f""""queries":$queriesSecs%.1f,"crawl":$crawlSecs%.1f},"""
+        f""""queries":$queriesSecs%.1f,"crawl":$crawlSecs%.1f},""" +
+        s""""reps":2,"queries_rep1":${qjson(rep1)},"queries_rep2":${qjson(rep2)},"""
     println(s"""{"metric":"total","value":$total,"unit":"sec",$attribution$crawlJson"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

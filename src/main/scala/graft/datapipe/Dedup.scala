@@ -77,8 +77,16 @@ object Dedup {
 
   /** Exact dedup: group identical texts, keep the smallest id.
     * Returns (idCol, n_copies). */
+  /** 128-bit exact-text grouping key: xxhash64 twice over decorrelated
+    * inputs. A single 64-bit key carries ~3% birthday-collision odds at
+    * 10^9 distinct documents — a collision silently merges two different
+    * documents; the composite drops that below 1e-18 while the key stays
+    * 16 bytes (grouping by the raw text would shuffle full documents). */
+  def textKey128(t: Column): Column =
+    struct(xxhash64(t), xxhash64(t, lit(0x9E3779B97F4A7C15L)))
+
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+    df.groupBy(textKey128(col(textCol)).as("text_key"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(idCol, "n_copies")
 
@@ -142,9 +150,10 @@ object Dedup {
   def minhashState(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64): (DataFrame, DataFrame) = {
     val all = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    // pre-collapse exact duplicates on the text hash (the same 64-bit-key
-    // stance as exactDedup and the crawl seen set)
-    val (reps0, stars) = collapseExact(all, xxhash64(col("text")))
+    // pre-collapse exact duplicates on the 128-bit text key (same stance as
+    // exactDedup: a star edge asserts jaccard 1.0, so a key collision would
+    // fabricate a near-dup pair — the composite key makes that ~1e-18)
+    val (reps0, stars) = collapseExact(all, textKey128(col("text")))
     val base = reps0
       .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
       // materialize the shingle hashes so the 64 array_min's share one array

@@ -545,7 +545,7 @@ object Demos {
     // injected exact duplicates (ids +100000) so the dedup stage binds.
     // Scale shape: the gates are per-row expressions Catalyst fuses into
     // the scan (one WholeStageCodegen span, no shuffle); the collapse is
-    // ONE hash-agg on xxhash64(text) electing the min-id row via min_by
+    // ONE hash-agg on the 128-bit text key electing the min-id row via min_by
     // (map-side partial agg — a boilerplate page duplicated 10^6 times
     // still contributes one row per map partition); the report is a
     // second tiny hash-agg keyed by source. No joins anywhere.
@@ -556,7 +556,7 @@ object Demos {
         .withColumn("lang_pred", TextStats.langId(col("text")))
         .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
       val reps = gated
-        .groupBy(xxhash64(col("text")).as("text_hash"))
+        .groupBy(Dedup.textKey128(col("text")).as("text_key"))
         .agg(min_by(
           struct(col("doc_id"), col("source"),
             col("n_tokens").cast("long").as("n_tokens"), col("quality_score")),
@@ -1052,7 +1052,54 @@ object Demos {
   // are aliased to the same names and cast to the same types as the Spark
   // results; every query is deterministically ordered.
   // ------------------------------------------------------------------
-  val oracleSql: Map[String, String] = Map(
+
+  /** Shared DuckDB fragments of the TextStats semantics — ONE copy spliced
+    * into the lang_id, text_quality and corpus_pipeline oracles so the
+    * stopword lists, diacritic evidence, tie rules and quality formula
+    * cannot drift between them. Column names assumed: `text` in the source
+    * CTE; the feature aliases (h_*, *d, cjk, nc, nt, np, nu) downstream. */
+  private val duckToks =
+    "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+  private def duckHits(words: String) =
+    s"len(list_intersect($duckToks, [$words]))"
+  /** Language evidence columns (over `text`): stopword hits per language,
+    * diacritic counts, CJK share numerator, and `nc` = length(text). */
+  private val duckLangFeatureCols =
+    duckHits("'the','and','of','to','is','in','that','with','for','a'") + " AS h_en, " +
+      duckHits("'le','la','les','et','de','des','est','dans','pour','une'") + " AS h_fr, " +
+      duckHits("'el','la','los','las','y','de','es','en','que','una'") + " AS h_es, " +
+      duckHits("'der','die','das','und','ist','von','mit','für','ein','nicht'") + " AS h_de, " +
+      "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
+      "length(text) AS nc, " +
+      "length(text) - length(regexp_replace(text, '[àâçéèêëîïôùûœ]', '', 'g')) AS frd, " +
+      "length(text) - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g')) AS esd, " +
+      "length(text) - length(regexp_replace(text, '[äöüß]', '', 'g')) AS ded"
+  /** The TextStats.langId decision CASE over the feature columns above. */
+  private val duckLangCase =
+    "CASE WHEN CAST(cjk AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) > 0.15 THEN 'zh' " +
+      "WHEN h_fr + frd > h_en AND h_fr + frd >= h_es + esd AND " +
+      "h_fr + frd >= h_de + ded AND h_fr + frd > 0 THEN 'fr' " +
+      "WHEN h_es + esd > h_en AND h_es + esd >= h_de + ded AND h_es + esd > 0 THEN 'es' " +
+      "WHEN h_de + ded > h_en AND h_de + ded > 0 THEN 'de' " +
+      "WHEN h_en > 0 THEN 'en' ELSE 'und' END"
+  /** Token count (whitespace split, empty-text guard) over `text`. */
+  private val duckNTokens =
+    "CASE WHEN trim(text) = '' THEN 0 ELSE " +
+      "len(regexp_split_to_array(trim(text), '\\s+')) END"
+  /** Quality feature columns over `text` (token/punct/upper counts). */
+  private val duckQualityFeatureCols =
+    s"$duckNTokens AS nt, " +
+      "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np, " +
+      "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu"
+  /** The TextStats quality score over (nt, np, nc, nu, `hits` = English
+    * stopword hit count). */
+  private def duckQualityScore(hits: String) =
+    "CASE WHEN nt < 5 THEN 0.0 ELSE 1.0 " +
+      "- least(CAST(np AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) * 2, 0.5) " +
+      "- least(CAST(nu AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0), 0.3) " +
+      s"+ least(CAST($hits AS DOUBLE) * 0.02, 0.2) END"
+
+  private val oracleSql0: Map[String, String] = Map(
     "scan_pages" ->
       s"SELECT $duckUrl AS url, lang, $duckWarcTs AS warc_ts FROM documents ORDER BY url",
     "corpus_bucketed" ->
@@ -1304,48 +1351,18 @@ object Demos {
     // language-ID heuristic re-derived in SQL (same stopword lists,
     // diacritic evidence, CJK share and tie rules as TextStats.langId)
     "lang_id" ->
-      ("WITH f AS (SELECT " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['the','and','of','to','is','in','that','with','for','a'])) AS h_en, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['le','la','les','et','de','des','est','dans','pour','une'])) AS h_fr, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['el','la','los','las','y','de','es','en','que','una'])) AS h_es, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['der','die','das','und','ist','von','mit','für','ein','nicht'])) AS h_de, " +
-        "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
-        "length(text) AS n, " +
-        "length(text) - length(regexp_replace(text, '[àâçéèêëîïôùûœ]', '', 'g')) AS frd, " +
-        "length(text) - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g')) AS esd, " +
-        "length(text) - length(regexp_replace(text, '[äöüß]', '', 'g')) AS ded " +
-        "FROM documents), " +
-        "p AS (SELECT CASE " +
-        "WHEN CAST(cjk AS DOUBLE) / greatest(CAST(n AS DOUBLE), 1.0) > 0.15 THEN 'zh' " +
-        "WHEN h_fr + frd > h_en AND h_fr + frd >= h_es + esd AND " +
-        "h_fr + frd >= h_de + ded AND h_fr + frd > 0 THEN 'fr' " +
-        "WHEN h_es + esd > h_en AND h_es + esd >= h_de + ded AND h_es + esd > 0 THEN 'es' " +
-        "WHEN h_de + ded > h_en AND h_de + ded > 0 THEN 'de' " +
-        "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred FROM f) " +
+      (s"WITH f AS (SELECT $duckLangFeatureCols FROM documents), " +
+        s"p AS (SELECT $duckLangCase AS lang_pred FROM f) " +
         "SELECT lang_pred, count(*) AS n FROM p GROUP BY 1 ORDER BY 1"),
     // quality features re-derived in SQL (same ratios, caps and literals)
     "text_quality" ->
-      ("WITH f AS (SELECT doc_id, " +
-        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
-        "length(text) AS nc, " +
-        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np, " +
-        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['the','and','of','to','is','in','that','with','for','a'])) AS sh " +
-        "FROM documents), " +
-        "r AS (SELECT doc_id, nt, sh, " +
+      (s"WITH f AS (SELECT doc_id, $duckQualityFeatureCols, length(text) AS nc, " +
+        duckHits("'the','and','of','to','is','in','that','with','for','a'") +
+        " AS h_en FROM documents) " +
+        "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, " +
         "CAST(np AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) AS punct_ratio, " +
-        "CAST(nu AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) AS upper_ratio FROM f) " +
-        "SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens, punct_ratio, " +
-        "CASE WHEN nt < 5 THEN 0.0 ELSE 1.0 " +
-        "- least(punct_ratio * 2, 0.5) - least(upper_ratio, 0.3) " +
-        "+ least(CAST(sh AS DOUBLE) * 0.02, 0.2) END AS quality_score " +
-        "FROM r ORDER BY doc_id"),
+        duckQualityScore("h_en") + " AS quality_score " +
+        "FROM f ORDER BY doc_id"),
     // exact n-gram Jaccard re-derived with DuckDB list functions (same
     // tokenization, 3-gram construction, distinct sets and double division)
     "ngram_jaccard" ->
@@ -1463,41 +1480,15 @@ object Demos {
     // the composed cleaning pass re-derived end-to-end in SQL: the same
     // lang-id CASE and quality formula as the duck-green lang_id /
     // text_quality oracles, then group-by-text arg_min collapse (= the
-    // engine's xxhash64-keyed min_by) and the per-source rollup. avg is
+    // engine's 128-bit-text-key min_by) and the per-source rollup. avg is
     // rounded to 6 on both sides (summation-order ulps sit inside the grid).
     "corpus_pipeline" ->
       ("WITH corpus AS (SELECT doc_id, source, text FROM documents " +
         "UNION ALL SELECT doc_id + 100000, source, text FROM documents), " +
-        "f AS (SELECT doc_id, source, text, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['the','and','of','to','is','in','that','with','for','a'])) AS h_en, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['le','la','les','et','de','des','est','dans','pour','une'])) AS h_fr, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['el','la','los','las','y','de','es','en','que','una'])) AS h_es, " +
-        "len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')), " +
-        "['der','die','das','und','ist','von','mit','für','ein','nicht'])) AS h_de, " +
-        "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk, " +
-        "length(text) AS nc, " +
-        "length(text) - length(regexp_replace(text, '[àâçéèêëîïôùûœ]', '', 'g')) AS frd, " +
-        "length(text) - length(regexp_replace(text, '[áéíóúñ¿¡]', '', 'g')) AS esd, " +
-        "length(text) - length(regexp_replace(text, '[äöüß]', '', 'g')) AS ded, " +
-        "CASE WHEN trim(text) = '' THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS nt, " +
-        "length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS np, " +
-        "length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu " +
-        "FROM corpus), " +
-        "p AS (SELECT doc_id, source, text, nt, " +
-        "CASE WHEN CAST(cjk AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) > 0.15 THEN 'zh' " +
-        "WHEN h_fr + frd > h_en AND h_fr + frd >= h_es + esd AND " +
-        "h_fr + frd >= h_de + ded AND h_fr + frd > 0 THEN 'fr' " +
-        "WHEN h_es + esd > h_en AND h_es + esd >= h_de + ded AND h_es + esd > 0 THEN 'es' " +
-        "WHEN h_de + ded > h_en AND h_de + ded > 0 THEN 'de' " +
-        "WHEN h_en > 0 THEN 'en' ELSE 'und' END AS lang_pred, " +
-        "CASE WHEN nt < 5 THEN 0.0 ELSE 1.0 " +
-        "- least(CAST(np AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0) * 2, 0.5) " +
-        "- least(CAST(nu AS DOUBLE) / greatest(CAST(nc AS DOUBLE), 1.0), 0.3) " +
-        "+ least(CAST(h_en AS DOUBLE) * 0.02, 0.2) END AS quality_score " +
+        s"f AS (SELECT doc_id, source, text, $duckLangFeatureCols, " +
+        s"$duckQualityFeatureCols FROM corpus), " +
+        s"p AS (SELECT doc_id, source, text, nt, $duckLangCase AS lang_pred, " +
+        duckQualityScore("h_en") + " AS quality_score " +
         "FROM f), " +
         "gated AS (SELECT * FROM p WHERE lang_pred = 'en' AND quality_score >= 0.5), " +
         "reps AS (SELECT arg_min(source, doc_id) AS source, " +
@@ -1512,4 +1503,16 @@ object Demos {
     // same vertex set, self-edge drop, edge multiplicity, damping 0.85,
     // uniform dangling-mass fold; rounded to 9 decimals on both sides
     "link_rank" -> linkRankOracleSql)
+
+  /** The driver-facing oracle map. The SQL literals above reference the
+    * default verify-sf fixture paths (`…-sf0.01/`); when the
+    * `-Dgraft.verify.fixtureSf` override moves the fixture WRITES, this one
+    * exit point rewrites the READ paths to match — the two can never point
+    * at different sf tags (a split would either fail on missing files or,
+    * worse, silently compare against a stale other-sf fixture). */
+  val oracleSql: Map[String, String] =
+    if (fixtureSfTag == "sf0.01") oracleSql0
+    else oracleSql0.map { case (k, v) =>
+      k -> v.replace("-sf0.01/", s"-$fixtureSfTag/")
+    }
 }

@@ -67,13 +67,26 @@ object Dedup {
   /** MinHash signature (array<long> of length numHashes) over a shingle
     * array column. Each "permutation" re-hashes the shingle hash XORed with
     * a per-function salt (bitwise ops + xxhash64: overflow-free under ANSI
-    * mode, unlike an affine a·h+b family). */
+    * mode, unlike an affine a·h+b family).
+    *
+    * REFERENCE implementation (r6): the built-in composition evaluates
+    * `numHashes` interpreted `transform`/`array_min` passes per row, each
+    * allocating an intermediate array — measured as the dominant cost of
+    * dedup_minhash. The hot path ([[minhashState]]) computes the identical
+    * minima in ONE pass via [[MinHashMinimaExpr]]; HotPathEquivalenceSpec
+    * asserts exact equality against this formulation. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val hashes = transform(shingles, s => xxhash64(s))
     array(permParams(numHashes).map { case (a, _) =>
       array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(lit(a)))))
     }: _*)
   }
+
+  /** The salts of [[permParams]] — the XOR masks the one-pass
+    * [[MinHashMinimaExpr]] replays; `drop` selects the independent
+    * sub-split family above the signature's. */
+  private[datapipe] def minhashSalts(numHashes: Int): Seq[Long] =
+    permParams(numHashes).map(_._1)
 
   /** Exact dedup: group identical texts, keep the smallest id.
     * Returns (idCol, n_copies). */
@@ -156,11 +169,14 @@ object Dedup {
     val (reps0, stars) = collapseExact(all, textKey128(col("text")))
     val base = reps0
       .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
-      // materialize the shingle hashes so the 64 array_min's share one array
+      // materialize the shingle hashes once, then ALL numHashes permutation
+      // minima in one fused pass (r6: identical values to the
+      // minhashSignature reference composition, which evaluated numHashes
+      // interpreted transform+array_min passes per row — the measured
+      // dedup_minhash hot spot)
       .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
-      .withColumn("sig", array(permParams(numHashes).map { case (a, _) =>
-        array_min(transform(col("sh_hashes"), h => xxhash64(h.bitwiseXOR(lit(a)))))
-      }: _*))
+      .withColumn("sig",
+        HotPathFunctions.minhash_minima(col("sh_hashes"), minhashSalts(numHashes)))
     (base, stars)
   }
 
@@ -174,16 +190,20 @@ object Dedup {
     val rows = numHashes / bands
 
     val (base0, stars) = minhashState(df, idCol, textCol, k, numHashes)
+    // sub-split key: an extra `subRows`-hash band from permutations the
+    // signature does not use — an independent family, so rows that share
+    // a hot bucket by saturation (not similarity) scatter, while a true
+    // near-dup pair at Jaccard s still collides w.p. ~s^subRows. The extra
+    // minima come from the same one-pass kernel as the signature (r6);
+    // element_at(...).cast("string") reproduces the per-permutation
+    // array_min(...).cast("string") columns of the reference form exactly.
+    val extraSalts = minhashSalts(numHashes + subRows).drop(numHashes)
     val base = base0
-      // sub-split key: an extra `subRows`-hash band from permutations the
-      // signature does not use — an independent family, so rows that share
-      // a hot bucket by saturation (not similarity) scatter, while a true
-      // near-dup pair at Jaccard s still collides w.p. ~s^subRows
+      .withColumn("__sub_mins",
+        HotPathFunctions.minhash_minima(col("sh_hashes"), extraSalts))
       .withColumn("sub_key", xxhash64(concat_ws(",",
-        permParams(numHashes + subRows).drop(numHashes).map { case (a, _) =>
-          array_min(transform(col("sh_hashes"),
-            h => xxhash64(h.bitwiseXOR(lit(a))))).cast("string")
-        }: _*)))
+        (1 to subRows).map(i => element_at(col("__sub_mins"), i).cast("string")): _*)))
+      .drop("__sub_mins")
       // materialize: the signature subtree (66 array_min·xxhash64 passes
       // over the shingle hashes) feeds FOUR consumers — the banding, the
       // hot-bucket census, and both sides of the survivor shingle join.

@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float|double> columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two array<double> columns — fused one-pass kernel
+    * (r6), bit-identical to [[cosineReference]] (same FP fold order, same
+    * null/zero-divisor semantics; HotPathEquivalenceSpec). */
+  def cosine(a: Column, b: Column): Column =
+    HotPathFunctions.cosine_sim(a, b)
+
+  /** REFERENCE implementation of [[cosine]] — the r5 built-in composition
+    * (interpreted higher-order functions), kept for the equivalence spec. */
+  private[datapipe] def cosineReference(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
@@ -75,8 +82,16 @@ object Similarity {
     math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt)
   }
 
-  /** Random-hyperplane LSH bucket id (int of nPlanes sign bits). */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seedOffset: Int = 0): Column = {
+  /** Random-hyperplane LSH bucket id (int of nPlanes sign bits) — fused
+    * one-pass kernel (r6), bit-identical to [[lshBucketReference]]
+    * (HotPathEquivalenceSpec). */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seedOffset: Int = 0): Column =
+    HotPathFunctions.lsh_bucket(vec, planes(nPlanes, dim, seedOffset))
+
+  /** REFERENCE implementation of [[lshBucket]] — the r5 per-plane
+    * interpreted composition, kept for the equivalence spec. */
+  private[datapipe] def lshBucketReference(
+      vec: Column, nPlanes: Int, dim: Int, seedOffset: Int = 0): Column = {
     val ps = planes(nPlanes, dim, seedOffset)
     val bits = ps.zipWithIndex.map { case (plane, i) =>
       val dot = aggregate(zip_with(vec, typedLit(plane), (x, y) => x * y),
@@ -149,8 +164,13 @@ object Similarity {
   }
 
   /** Dot of `vec` against every centroid in the (normalized) literal model:
-    * array<double> of length nList. */
+    * array<double> of length nList — fused one-pass kernel (r6),
+    * bit-identical to [[centroidDotsReference]] (HotPathEquivalenceSpec). */
   private def centroidDots(vec: Column, cents: Seq[Seq[Double]]): Column =
+    HotPathFunctions.matrix_dots(vec, cents)
+
+  /** REFERENCE implementation of [[centroidDots]] — kept for the spec. */
+  private[datapipe] def centroidDotsReference(vec: Column, cents: Seq[Seq[Double]]): Column =
     transform(typedLit(cents), c =>
       aggregate(zip_with(vec, c, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
 

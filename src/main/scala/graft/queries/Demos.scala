@@ -552,8 +552,10 @@ object Demos {
     "corpus_pipeline" -> ((s, dir) => {
       val d0 = t(s, dir, "documents").select("doc_id", "source", "text")
       val d = d0.unionByName(d0.withColumn("doc_id", col("doc_id") + 100000))
-      val gated = TextStats.qualityFeatures(d, "text")
-        .withColumn("lang_pred", TextStats.langId(col("text")))
+      // ONE fused text-features pass feeds both gates (r6): quality columns
+      // and the language decision read the same materialized struct
+      val gated = TextStats.qualityFrom(TextStats.withTextFeatures(d, "text"), "__tf")
+        .withColumn("lang_pred", TextStats.langIdFrom(col("__tf")))
         .filter(col("lang_pred") === "en" && col("quality_score") >= 0.5)
       val reps = gated
         .groupBy(Dedup.textKey128(col("text")).as("text_key"))
@@ -948,10 +950,11 @@ object Demos {
         .orderBy("id_a", "id_b")
     }),
 
-    // language-ID heuristic (distribution over the corpus)
+    // language-ID heuristic (distribution over the corpus) — fused
+    // text-features path (r6; values identical to TextStats.langId)
     "lang_id" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(TextStats.langId(col("text")).as("lang_pred"))
+      TextStats.withTextFeatures(t(s, dir, "documents").select("text"), "text")
+        .select(TextStats.langIdFrom(col("__tf")).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n")).orderBy("lang_pred")),
 
     // quality features + composite score

@@ -46,11 +46,19 @@ object Dedup {
   /** tokens = lowercase whitespace split. */
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 
-  /** k-token shingles; texts shorter than k yield one whole-text shingle. */
+  /** k-token shingles; texts shorter than k yield one whole-text shingle.
+    * REFERENCE composition (r6) — the hot paths use [[distinctShingles]]
+    * (identical values, one fused pass; HotPathEquivalenceSpec). */
   def shinglesCol(tokens: Column, k: Int): Column =
     when(size(tokens) < k, array(concat_ws(" ", tokens)))
       .otherwise(transform(sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
+
+  /** `array_distinct(shinglesCol(tokens, k))` fused into one pass (r6) —
+    * the interpreted transform/slice/concat_ws composition was the
+    * measured dominant cost of the minhash state build. */
+  def distinctShingles(tokens: Column, k: Int): Column =
+    HotPathFunctions.distinct_shingles(tokens, k)
 
   /** Deterministic affine hash family for MinHash permutations. */
   private def permParams(numHashes: Int): Seq[(Long, Long)] =
@@ -122,12 +130,18 @@ object Dedup {
     * are emitted at representative level, which again closes identically
     * because every member has jaccard/hamming 0 to its representative. */
   private def collapseExact(base: DataFrame, keyExpr: Column): (DataFrame, DataFrame) = {
+    // r6: min-per-group attached via a window over the group key — ONE
+    // exchange of the (text-carrying) rows instead of the r5 groupBy +
+    // join-back (which shuffled the keyed rows a second time for the join
+    // and the thin (key, min) frame once more). Same rows out; a mega-group
+    // (10^6 identical texts) occupies one window partition exactly as it
+    // occupied one join bucket before.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__grp_key")
     val keyed = base.withColumn("__grp_key", keyExpr)
-    val groups = keyed.groupBy("__grp_key").agg(min(col("id")).as("__rep_id"))
-    val joined = keyed.join(groups, "__grp_key")
-    val reps = joined.filter(col("id") === col("__rep_id"))
+      .withColumn("__rep_id", min(col("id")).over(w))
+    val reps = keyed.filter(col("id") === col("__rep_id"))
       .drop("__grp_key", "__rep_id")
-    val stars = joined.filter(col("id") =!= col("__rep_id"))
+    val stars = keyed.filter(col("id") =!= col("__rep_id"))
       .select(col("__rep_id").as("id_a"), col("id").as("id_b"))
     (reps, stars)
   }
@@ -168,7 +182,7 @@ object Dedup {
     // fabricate a near-dup pair — the composite key makes that ~1e-18)
     val (reps0, stars) = collapseExact(all, textKey128(col("text")))
     val base = reps0
-      .withColumn("shingles", array_distinct(shinglesCol(tokensCol(col("text")), k)))
+      .withColumn("shingles", distinctShingles(tokensCol(col("text")), k))
       // materialize the shingle hashes once, then ALL numHashes permutation
       // minima in one fused pass (r6: identical values to the
       // minhashSignature reference composition, which evaluated numHashes
@@ -452,27 +466,28 @@ object Dedup {
     * (package-private) for the datapipe plan audit. Input and output edge
     * sets are directed large → small; output is pre-checkpoint. */
   private[datapipe] def alternatingStep(e: DataFrame): DataFrame = {
-    // large-star: every neighbor v > u attaches to m = min(Γ(u) ∪ {u}).
-    // After it, all edges point large → small again.
+    // r6: the per-star minima are attached via windows over src — one
+    // exchange+sort per star phase instead of the r5 groupBy + join-back
+    // (two exchanges each, with the symmetrized edge set scanned twice).
+    // 6 exchanges/round → 3. Row-level equivalence with the r5 form:
+    //  - large-star: m = least(src, min(dst) over src-partition) is exactly
+    //    the joined lsMin value per src; same filters/selects follow.
+    //  - small-star: the r5 UNION's second branch emitted (src, m) once per
+    //    DISTINCT src (from ssMin); the window form emits it once per ls
+    //    row — duplicates that the terminal distinct() collapses anyway.
+    // A mega-star's edges land in one window partition exactly as they
+    // landed in one join bucket before (same key, same skew posture).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
-      .select(col("src"), least(col("src"), col("mn")).as("m"))
-    // no distinct here: duplicate (v, m) rows are neutral to the min
-    // aggregations below and the small-star distinct bounds the edge set
-    // at iteration end — one fewer full shuffle per round (wall-clock
-    // neutral at 12M edges in CCBench, where the per-round cost is
-    // dominated by the remaining shuffles; kept for the plan, not the
-    // sandbox number).
-    val ls = sym.join(lsMin, "src")
+    val ls = sym.withColumn("m", least(col("src"), min("dst").over(w)))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
     // small-star: u and all its (smaller) neighbors attach to u's min
     // neighbor — contracts each star one level toward the component min.
-    val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
-    ls.join(ssMin, "src")
-      .select(col("dst").as("src"), col("m").as("dst"))
-      .union(ssMin.select(col("src"), col("m").as("dst")))
+    val ssw = ls.withColumn("m", min("dst").over(w))
+    ssw.select(col("dst").as("src"), col("m").as("dst"))
+      .union(ssw.select(col("src"), col("m").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }
@@ -580,11 +595,14 @@ object Dedup {
     val fp = df.select(col(hostCol).as("host"), fpExpr(col(textCol)).as("fp"))
       .distinct()
     val sizes = fp.groupBy("host").agg(count(lit(1)).as("n"))
-    val discriminative = fp.join(
-      fp.groupBy("fp").agg(count(lit(1)).as("__nh"))
-        .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerFp)
-        .select("fp"),
-      Seq("fp"))
+    // r6: the discriminative-frequency gate as a window count over fp —
+    // one exchange of the fp set instead of the r5 groupBy + join-back
+    // (same rows kept: distinct (host, fp) rows whose fp is on 2..max hosts)
+    val discriminative = fp
+      .withColumn("__nh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerFp)
+      .drop("__nh")
     val pairs = discriminative.as("a")
       .join(discriminative.as("b"), Seq("fp"))
       .filter(col("a.host") < col("b.host"))
@@ -604,7 +622,7 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, k: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(shinglesCol(tokensCol(col(textCol)), k)).as("sh"))
+      distinctShingles(tokensCol(col(textCol)), k).as("sh"))
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

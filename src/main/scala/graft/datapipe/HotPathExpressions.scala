@@ -80,6 +80,50 @@ case class MinHashMinimaExpr(child: Expression, salts: Seq[Long])
     copy(child = newChild)
 }
 
+/** Distinct k-token shingles in ONE pass over a token array — fused
+  * equivalent of `array_distinct(Dedup.shinglesCol(tokens, k))`:
+  * for n = size(tokens) < k one whole-text shingle (all tokens joined by
+  * " "), else one shingle per window i ∈ [0, n-k] joining tokens
+  * [i, i+k) — `concat_ws` semantics (null elements skipped, "" for
+  * all-null), distinct by first occurrence. Null input → null (matches
+  * `array_distinct(transform(sequence(0, size(null)-k)...)) = null`).
+  * Measured: the interpreted transform/slice/concat_ws composition was
+  * ~3 s of the dedup_minhash bench query; this is the same work in one
+  * tight loop over UTF8String parts. */
+case class DistinctShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, "shingle width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+  @transient private lazy val space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    def joined(from: Int, len: Int): UTF8String = {
+      val parts = new Array[UTF8String](len)
+      var i = 0
+      while (i < len) { // null tokens stay null — concatWs skips them
+        if (!arr.isNullAt(from + i)) parts(i) = arr.getUTF8String(from + i)
+        i += 1
+      }
+      UTF8String.concatWs(space, parts: _*)
+    }
+    if (n < k) return new GenericArrayData(Array[Any](joined(0, n)))
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      seen.add(joined(i, k))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): DistinctShinglesExpr =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two `array<double>` columns in one fused pass —
   * bit-identical to the `zip_with`/`aggregate` composition in
   * [[Similarity.cosineReference]]: dot and both squared norms are
@@ -358,4 +402,7 @@ object HotPathFunctions {
       LshBucketExpr(GraftColumnBridge.expression(vec.cast("array<double>")), planes))
   def text_features(text: Column): Column =
     GraftColumnBridge.column(TextFeaturesExpr(GraftColumnBridge.expression(text)))
+  def distinct_shingles(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      DistinctShinglesExpr(GraftColumnBridge.expression(tokens), k))
 }

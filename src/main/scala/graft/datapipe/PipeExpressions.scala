@@ -28,7 +28,12 @@ case class SimHashExpr(child: Expression)
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = Hash64.string(arr.getUTF8String(i).toString)
+        // hash the UTF8String's backing bytes directly (identical to
+        // Hash64.string: UTF8String stores UTF-8, XXH64 seed 42) — the
+        // toString + getBytes round-trip was two copies per token (r6)
+        val s = arr.getUTF8String(i)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, Hash64.Seed)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

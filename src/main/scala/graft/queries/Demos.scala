@@ -274,10 +274,13 @@ object Demos {
     * Dedup.dedupClusters over minhashPairs/simhashPairs output.) */
   private def docClusters(d0: DataFrame): DataFrame = {
     val d = d0.select(col("doc_id"), col("text"), col("n_chars"))
+    // r6: min-per-key attached via a window — one exchange per family
+    // instead of the groupBy + join-back (same rows out)
     def starEdges(key: Column): DataFrame = {
-      val keyed = d.select(col("doc_id"), key.as("k"))
-      val mins = keyed.groupBy("k").agg(min("doc_id").as("mn"))
-      keyed.join(mins, "k").filter(col("doc_id") =!= col("mn"))
+      val w = Window.partitionBy("k")
+      d.select(col("doc_id"), key.as("k"))
+        .withColumn("mn", min("doc_id").over(w))
+        .filter(col("doc_id") =!= col("mn"))
         .select(col("doc_id").as("src"), col("mn").as("dst"))
     }
     val edges = starEdges(substring(col("text"), 1, 24))

@@ -55,6 +55,27 @@ class HotPathEquivalenceSpec extends AnyFunSuite with SparkTestBase {
         array_min(transform(col("shh"), h => xxhash64(h.bitwiseXOR(lit(a)))))): _*)))
   }
 
+  test("distinctShingles ≡ array_distinct(shinglesCol) on tricky token arrays") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a", "one two", "one", "", "   ", "\tword\tword2\n",
+      "rep rep rep word rep rep rep word rep", "x y z x y z x y z",
+      "ü ö ä diacritics für", "汉字 test 漢字 test 汉字 test")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text")
+        .withColumn("t", Dedup.tokensCol(col("text")))
+      assertSameColumns(df.select(
+        Dedup.distinctShingles(col("t"), k),
+        array_distinct(Dedup.shinglesCol(col("t"), k))))
+    }
+    // null-element and empty-array edges
+    val edge = Seq(Seq("a", null, "b", "a", null, "b"), Seq.empty[String])
+      .toDF("t")
+    assertSameColumns(edge.select(
+      Dedup.distinctShingles(col("t"), 3),
+      array_distinct(Dedup.shinglesCol(col("t"), 3))))
+  }
+
   test("cosine_sim ≡ the cosineReference composition (exact doubles)") {
     val pairs = (0 until 50).map(i => (dvec(i, 64), dvec(i + 1000, 64))) ++
       Seq((dvec(7, 64), dvec(7, 64))) // identical vectors → cosine 1-ish ulps

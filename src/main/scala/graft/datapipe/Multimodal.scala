@@ -42,9 +42,17 @@ object Multimodal {
     * opaque payload (the declared stub path for codecs outside the JVM). */
   def synthMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), substring(col("text"), 1, 512).as("text"))
-      .as[(Long, String)]
+    // r6: the synthesis/decode kernels are CPU-heavy per row while the
+    // documents file at sandbox scale is under the 4 MB openCost floor —
+    // ONE scan split would serialize the codec work. Widen only when the
+    // scan is narrower than the session parallelism (a no-op at production
+    // scale, where scans carry plenty of splits); the shuffle moved is the
+    // truncated (doc_id, text≤512) projection, not media bytes.
+    val par = spark.sparkContext.defaultParallelism
+    val docs = (if (docs0.rdd.getNumPartitions < par) docs0.repartition(par)
+                else docs0).as[(Long, String)]
     docs.map { case (id, text) => synthMediaRow(id, text) }.toDF()
   }
 

@@ -33,7 +33,16 @@ object Demos {
   private val pagesCache = scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def pages(s: SparkSession, dir: String): DataFrame =
     pagesCache.getOrElseUpdate((s, dir), {
-      val df = PagesSynth.pages(s, dir).persist()
+      // r6: choose the CACHE's partition layout before persisting (one tiny
+      // shuffle, outside every timed region). A sandbox-scale documents file
+      // sits under the 4 MB openCost floor, so the scan yields ONE split and
+      // every downstream scan stage of the cached corpus would run serial on
+      // a 32-core box; at production scale the scan already exceeds the
+      // session parallelism and the branch is a no-op.
+      val df0 = PagesSynth.pages(s, dir)
+      val par = s.sparkContext.defaultParallelism
+      val df = (if (df0.rdd.getNumPartitions < par) df0.repartition(par) else df0)
+        .persist()
       df.count()
       df
     })

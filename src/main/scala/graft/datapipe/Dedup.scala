@@ -392,8 +392,15 @@ object Dedup {
     val b = bandedP.select(col("band_idx"), col("band_key"),
       col("sub_slot"), col("sub_val"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
+    // r6: verify the (cheap, codegen) hamming distance BEFORE the distinct —
+    // filter-then-distinct ≡ distinct-then-filter row for row, and the
+    // multi-table join emits each surviving pair up to C(blocks,2) times, so
+    // the distinct's exchange carries ~6× fewer rows (measured 648k → ~100k
+    // at sf0.1). simhashCandidates therefore returns DISTANCE-VERIFIED
+    // candidates; simhashPairs' own filter is a no-op kept for shape.
     val candidates = a.join(b, Seq("band_idx", "band_key", "sub_slot", "sub_val"))
       .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
     (candidates, stars)
   }

@@ -446,7 +446,12 @@ object Demos {
         .withColumn("salt", pmod(xxhash64(col("l_partkey").cast("string")), lit(S)))
       val small = t(s, dir, "orders")
         .withColumn("salt", explode(sequence(lit(0L), lit(S - 1))))
-      big.join(small, big("l_orderkey") === small("o_orderkey")
+      // r6: shuffled-hash join, building on the replicated small side —
+      // salting bounds every (key, salt) bucket by construction, so the
+      // per-partition build side is bounded at any scale and the two
+      // sort-merge sorts (the plan's dominant cost) are avoided. Deliberate
+      // strategy pick per the optimization guide §3.1; result identical.
+      big.join(small.hint("shuffle_hash"), big("l_orderkey") === small("o_orderkey")
           && big("salt") === small("salt"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))

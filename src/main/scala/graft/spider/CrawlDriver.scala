@@ -344,7 +344,16 @@ object CrawlDriver {
   def crawlFromSf(spark: SparkSession, sfDir: String, cfg: CrawlConfig,
       stateDir: String, replicate: Int = 1, spreadHosts: Boolean = false): DataFrame = {
     import graft.spider.synth.PagesSynth
-    val pages = PagesSynth.pages(spark, sfDir, replicate, spreadHosts)
+    // r6: choose the corpus cache's partition layout before persisting —
+    // a sandbox-scale documents file scans as ONE split (4 MB openCost
+    // floor) and the replicate crossJoin inherits ≤ replicate non-empty
+    // partitions, serializing the html-synth and fetch-join scan stages.
+    // No-op when the scan already meets the session parallelism (the
+    // production case), so nothing is tuned to the local core count.
+    val pages0 = PagesSynth.pages(spark, sfDir, replicate, spreadHosts)
+    val par = spark.sparkContext.defaultParallelism
+    val pages = (if (pages0.rdd.getNumPartitions < par) pages0.repartition(par)
+                 else pages0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pages.count() // materialize once; every round re-joins against it
     val robots =

@@ -509,7 +509,7 @@ object Dedup {
       .select(greatest(col("s"), col("d")).as("src"),
         least(col("s"), col("d")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // r6: materialized by the signature below
 
     def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
@@ -522,7 +522,11 @@ object Dedup {
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = alternatingStep(e).localCheckpoint(true)
+      // r6: LAZY localCheckpoint — the signature aggregation right below is
+      // the round's action and materializes (and caches) the checkpoint
+      // RDD, so each round runs ONE job instead of an eager-checkpoint job
+      // plus the signature job. Lineage is still truncated at construction.
+      val next = alternatingStep(e).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

@@ -212,14 +212,20 @@ object Similarity {
     require(cents.length == nList,
       s"corpus sample smaller than nList: ${cents.length} < $nList")
     (1 to iters).foreach { _ =>
-      val means = sample
+      // r6: collect the (cid, pos, mean) rows directly — nList×dim rows,
+      // the same bounded model state as before — and assemble the vectors
+      // on the driver, instead of a second shuffle + collect_list/sort
+      // aggregation per iteration. The per-(cid,pos) avg plan (and so
+      // every mean value) is unchanged; assembly by ascending pos is
+      // exactly the old array_sort-by-(pos,·) order (pos unique per cid).
+      val rows = sample
         .withColumn("cid", ivfList(col("v"), cents))
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+        .collect()
+      val means = rows.groupBy(_.getInt(0)).map { case (cid, rs) =>
+        cid -> (rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq: Seq[Double])
+      }
       cents = cents.indices.map(i => renorm(means.getOrElse(i, cents(i))))
     }
     sample.unpersist()

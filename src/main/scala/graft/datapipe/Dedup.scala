@@ -208,15 +208,16 @@ object Dedup {
     // signature does not use — an independent family, so rows that share
     // a hot bucket by saturation (not similarity) scatter, while a true
     // near-dup pair at Jaccard s still collides w.p. ~s^subRows. The extra
-    // minima come from the same one-pass kernel as the signature (r6);
-    // element_at(...).cast("string") reproduces the per-permutation
-    // array_min(...).cast("string") columns of the reference form exactly.
+    // minima come from the same one-pass kernel as the signature (r6).
     val extraSalts = minhashSalts(numHashes + subRows).drop(numHashes)
     val base = base0
       .withColumn("__sub_mins",
         HotPathFunctions.minhash_minima(col("sh_hashes"), extraSalts))
-      .withColumn("sub_key", xxhash64(concat_ws(",",
-        (1 to subRows).map(i => element_at(col("__sub_mins"), i).cast("string")): _*)))
+      // one `subRows`-wide band over the extra minima — element_at(.., 1) of
+      // the fused band_hashes reproduces xxhash64(concat_ws(",", casts))
+      // bit-for-bit (HotPathEquivalenceSpec)
+      .withColumn("sub_key",
+        element_at(HotPathFunctions.band_hashes(col("__sub_mins"), subRows), 1))
       .drop("__sub_mins")
       // materialize: the signature subtree (66 array_min·xxhash64 passes
       // over the shingle hashes) feeds FOUR consumers — the banding, the
@@ -228,10 +229,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     registerLsh(base)
 
+    // r6: all `bands` band keys in one fused pass over the signature —
+    // value-identical to the interpreted
+    // xxhash64(concat_ws(",", transform(slice(sig, ...), cast))) chain it
+    // replaces (HotPathEquivalenceSpec asserts bit-equality)
     val banded0 = base.select(col("id"), col("sub_key"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          j => xxhash64(concat_ws(",",
-            transform(slice(col("sig"), j * rows + 1, lit(rows)), x => x.cast("string")))))))
+        posexplode(HotPathFunctions.band_hashes(col("sig"), rows)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val banded = subSplitHot(banded0, Seq("band_idx", "band_hash"),

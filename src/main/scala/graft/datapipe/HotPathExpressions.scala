@@ -382,6 +382,51 @@ object TextFeaturesExpr {
   }
 }
 
+/** All LSH band keys in ONE pass over a MinHash signature (`array<long>`,
+  * length = bands·rows): output element j is
+  * `xxhash64(concat_ws(",", transform(slice(sig, j*rows+1, rows),
+  * x => x.cast("string"))))` — the banded-key composition of
+  * [[Dedup.minhashCandidates]] — without the interpreted lambda chain or
+  * the per-band slice arrays. Bit-identity by construction: long→string is
+  * the same `Long.toString` the Cast uses, null elements are skipped by
+  * `UTF8String.concatWs` exactly as `concat_ws` skips them, and the hash
+  * IS Spark's `XxHash64Function` over the joined string (seed 42). The
+  * child is never null on the operator paths (it is a
+  * [[MinHashMinimaExpr]] output, nullable=false), so the inherited
+  * null-propagating `nullSafeEval` contract is safe. */
+case class BandHashesExpr(child: Expression, rows: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(rows >= 1, "band rows must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  @transient private lazy val comma =
+    org.apache.spark.unsafe.types.UTF8String.fromString(",")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = input.asInstanceOf[ArrayData]
+    val bands = arr.numElements() / rows
+    val out = new Array[Long](bands)
+    val parts = new Array[UTF8String](rows)
+    var j = 0
+    while (j < bands) {
+      var i = 0
+      while (i < rows) {
+        parts(i) =
+          if (arr.isNullAt(j * rows + i)) null
+          else UTF8String.fromString(java.lang.Long.toString(arr.getLong(j * rows + i)))
+        i += 1
+      }
+      out(j) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(UTF8String.concatWs(comma, parts: _*), StringType, Hash64.Seed)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
 object HotPathFunctions {
   def minhash_minima(shingleHashes: Column, salts: Seq[Long]): Column =
     GraftColumnBridge.column(
@@ -405,4 +450,7 @@ object HotPathFunctions {
   def distinct_shingles(tokens: Column, k: Int): Column =
     GraftColumnBridge.column(
       DistinctShinglesExpr(GraftColumnBridge.expression(tokens), k))
+  def band_hashes(sig: Column, rows: Int): Column =
+    GraftColumnBridge.column(
+      BandHashesExpr(GraftColumnBridge.expression(sig), rows))
 }

@@ -55,6 +55,41 @@ class HotPathEquivalenceSpec extends AnyFunSuite with SparkTestBase {
         array_min(transform(col("shh"), h => xxhash64(h.bitwiseXOR(lit(a)))))): _*)))
   }
 
+  test("band_hashes ≡ the banded-key reference composition") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat and more words here",
+      "one", "", "   ", "ü ö ä diacritics für", "汉字 test 漢字")
+    val salts = Dedup.minhashSalts(64)
+    val df = texts.toDF("text")
+      .withColumn("shh", transform(array_distinct(
+        Dedup.shinglesCol(Dedup.tokensCol(col("text")), 3)), s => xxhash64(s)))
+      .withColumn("sig", HotPathFunctions.minhash_minima(col("shh"), salts))
+    val rows = 4
+    def refBands(sig: org.apache.spark.sql.Column, bands: Int, r: Int) =
+      array((0 until bands).map(j => xxhash64(concat_ws(",",
+        transform(slice(sig, j * r + 1, r), x => x.cast("string"))))): _*)
+    assertSameColumns(df.select(
+      HotPathFunctions.band_hashes(col("sig"), rows),
+      refBands(col("sig"), 64 / rows, rows)))
+    // the subRows=2 sub-key form: element 1 of a 2-wide banding over the
+    // extra minima ≡ xxhash64(concat_ws(",", element_at casts))
+    val extra = Dedup.minhashSalts(66).drop(64)
+    val sub = df.withColumn("sm", HotPathFunctions.minhash_minima(col("shh"), extra))
+    assertSameColumns(sub.select(
+      element_at(HotPathFunctions.band_hashes(col("sm"), 2), 1),
+      xxhash64(concat_ws(",",
+        element_at(col("sm"), 1).cast("string"),
+        element_at(col("sm"), 2).cast("string")))))
+    // all-null signature (empty shingle-hash array): concat_ws skips the
+    // null elements on both sides
+    val empty = Seq(Seq.empty[Long]).toDF("shh")
+      .withColumn("sig", HotPathFunctions.minhash_minima(col("shh"), salts.take(8)))
+    assertSameColumns(empty.select(
+      HotPathFunctions.band_hashes(col("sig"), 2),
+      refBands(col("sig"), 4, 2)))
+  }
+
   test("distinctShingles ≡ array_distinct(shinglesCol) on tricky token arrays") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",

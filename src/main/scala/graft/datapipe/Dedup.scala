@@ -38,9 +38,20 @@ object Dedup {
     * builders under them) — the targeted alternative to
     * `spark.catalog.clearCache()` for a long-running pipeline cycling
     * distinct corpora. Safe while returned plans are still lazy: unpersist
-    * only drops cached blocks, later actions recompute. */
+    * only drops cached blocks, later actions recompute.
+    *
+    * The registry is JVM-global, not per-session: frames registered under a
+    * session that has since stopped are skipped (unpersisting against a dead
+    * SparkContext throws), and two concurrent pipelines share one registry —
+    * a release here drops BOTH pipelines' cached LSH frames (CacheManager
+    * dedupes by plan, so the other pipeline recomputes, it does not break). */
   def releaseLshState(): Unit = lshState.synchronized {
-    lshState.foreach(_.unpersist(false)); lshState.clear()
+    lshState.foreach { df =>
+      try {
+        if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+      } catch { case _: IllegalStateException => () } // session raced to stop
+    }
+    lshState.clear()
   }
 
   /** tokens = lowercase whitespace split. */

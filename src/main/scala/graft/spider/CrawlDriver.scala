@@ -220,6 +220,11 @@ object CrawlDriver {
       out.broadcasts.foreach(_.destroy())
     }
 
+    // ADVICE r5: frames that live across rounds (retired round outputs, the
+    // run-long hostRank checkpoint) are freed in a finally so a mid-crawl
+    // exception after the boost is built cannot leak their blocks for the
+    // session's lifetime.
+    try {
     for (r <- (startRound + 1) to cfg.rounds) {
       val tR = System.nanoTime()
       // Inputs: from the previous round's in-memory frames when pipelining
@@ -321,12 +326,14 @@ object CrawlDriver {
         f"[crawl] round $r compute=$tCompute%.1fs commit-drain=${(System.nanoTime() - tC) / 1e9}%.1fs " +
           s"fetched=${out.fetchedN}")
     }
-    retired.foreach(cleanup)
-    // The hostRank boost lives for the whole run (it joins every boosted
-    // round); free its checkpoint blocks now — Dataset.unpersist is a no-op
-    // on checkpoint-backed frames, so go through the bridge like cleanup().
-    hostBoostCkpt.foreach(b => org.apache.spark.sql.GraftColumnBridge
-      .checkpointRdd(b).foreach(_.unpersist(blocking = false)))
+    } finally {
+      retired.foreach(cleanup)
+      // The hostRank boost lives for the whole run (it joins every boosted
+      // round); free its checkpoint blocks now — Dataset.unpersist is a no-op
+      // on checkpoint-backed frames, so go through the bridge like cleanup().
+      hostBoostCkpt.foreach(b => org.apache.spark.sql.GraftColumnBridge
+        .checkpointRdd(b).foreach(_.unpersist(blocking = false)))
+    }
     // Post-crawl table maintenance (all commits final by here): bound the
     // catalog's metadata/state-file count by the retention window.
     if (cfg.expireKeepLast > 0) catalog.expireSnapshots(cfg.expireKeepLast)
